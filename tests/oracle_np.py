@@ -1,0 +1,98 @@
+"""Pure-numpy oracle of the reference math (SURVEY.md §4.1).
+
+A from-scratch fp32 implementation of the associative VAE forward pass and
+joint loss exactly as the reference computes it (Metzen-lineage VAE +
+association term; SURVEY.md §3.2): 2-hidden-layer softplus MLPs, sigmoid
+probabilities with ε=1e-10 clamped logs for Bernoulli reconstruction,
+closed-form KL, pairwise latent-mean L2 association. Used as the golden
+source for parity tests and (with a step of finite-difference-free autograd
+via TF2 in bench) the CPU throughput baseline.
+
+ε (the reparameterization noise) is an explicit argument everywhere so the
+oracle and the JAX path see identical randomness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+EPS = 1e-10
+
+
+def softplus(x):
+    # Stable: log(1+e^x) = max(x,0) + log1p(exp(-|x|))
+    return np.maximum(x, 0.0) + np.log1p(np.exp(-np.abs(x)))
+
+
+def sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def linear(p, x):
+    return x.astype(np.float32) @ p["w"].astype(np.float32) + p["b"].astype(np.float32)
+
+
+def encode(params, x):
+    r = params["recog"]
+    h1 = softplus(linear(r["h1"], x))
+    h2 = softplus(linear(r["h2"], h1))
+    return linear(r["out_mean"], h2), linear(r["out_logvar"], h2)
+
+
+def decode(params, z):
+    g = params["gener"]
+    h1 = softplus(linear(g["h1"], z))
+    h2 = softplus(linear(g["h2"], h1))
+    return linear(g["out"], h2)  # pre-activation (logits / linear output)
+
+
+def reparam(z_mean, z_logvar, eps):
+    return z_mean + np.sqrt(np.exp(z_logvar)) * eps
+
+
+def bernoulli_recon(x, probs):
+    ll = x * np.log(EPS + probs) + (1.0 - x) * np.log(EPS + 1.0 - probs)
+    return -np.sum(ll, axis=-1)
+
+
+def gaussian_recon(x, x_recon):
+    d = x - x_recon
+    return np.sum(d * d, axis=-1)
+
+
+def kl(z_mean, z_logvar):
+    return -0.5 * np.sum(1.0 + z_logvar - z_mean**2 - np.exp(z_logvar), axis=-1)
+
+
+def assoc_term(z_means):
+    total = np.zeros(z_means[0].shape[0], dtype=np.float32)
+    for i in range(len(z_means)):
+        for j in range(i + 1, len(z_means)):
+            d = z_means[i] - z_means[j]
+            total = total + np.sum(d * d, axis=-1)
+    return total
+
+
+def joint_loss(params_list, xs, eps_list, recon_types, assoc_lambda):
+    """Full joint objective → (total, metrics). Mirrors assoc_loss_fn."""
+    z_means, metrics, total = [], {}, np.float32(0.0)
+    for k, (p, x, eps, rt) in enumerate(
+        zip(params_list, xs, eps_list, recon_types)
+    ):
+        zm, zlv = encode(p, x)
+        z = reparam(zm, zlv, eps)
+        out = decode(p, z)
+        if rt == "bernoulli":
+            rec = bernoulli_recon(x, sigmoid(out))
+        else:
+            rec = gaussian_recon(x, out)
+        k_l = kl(zm, zlv)
+        metrics[f"recon_{k}"] = np.mean(rec)
+        metrics[f"kl_{k}"] = np.mean(k_l)
+        total = total + np.mean(rec) + np.mean(k_l)
+        z_means.append(zm)
+    a = np.mean(assoc_term(z_means)) if len(z_means) > 1 else np.float32(0.0)
+    metrics["assoc"] = a
+    total = total + np.float32(assoc_lambda) * a
+    metrics["total"] = total
+    return total, metrics

@@ -1,0 +1,180 @@
+"""Public API mirroring the reference's class surface.
+
+The reference exposes `VariationalAutoencoder` (per-modality) and
+`AssocVariationalAutoEncoder` (joint) classes with the verb set
+`partial_fit / transform / generate / reconstruct` plus
+`save_model / restore_model` (SURVEY.md §1.1 L2a-L2b). These wrappers keep
+that surface — same constructor knobs: architecture dict(s),
+`transfer_fct`-equivalent, `learning_rate`, `batch_size`, `assoc_lambda` —
+while the implementation is the functional TPU core: state is an explicit
+pytree, every verb is a cached jitted function, and nothing resembles a
+TF session.
+
+Users wanting maximum control (shard_map, custom loops, multi-step scan)
+should use :mod:`vae_assoc_tpu.train` and :mod:`vae_assoc_tpu.models`
+directly; these classes are the drop-in-familiar entry point.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Mapping, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_assoc_tpu.configs import AssocConfig, ModalityConfig, TrainConfig
+from vae_assoc_tpu.models import assoc as assoc_mod
+from vae_assoc_tpu.train.step import TrainState, init_train_state, make_train_step
+
+
+class AssocVariationalAutoEncoder:
+    """K-modality associative VAE with the reference's verb set.
+
+    Construct with a list of architecture dicts (one per modality), as the
+    reference does: ``AssocVariationalAutoEncoder([arch_img, arch_traj],
+    assoc_lambda=..., learning_rate=..., batch_size=...)``.
+    """
+
+    def __init__(
+        self,
+        network_architectures: Sequence[Mapping[str, int]],
+        *,
+        recon_types: Optional[Sequence[str]] = None,
+        names: Optional[Sequence[str]] = None,
+        assoc_lambda: float = 1.0,
+        learning_rate: float = 1e-3,
+        batch_size: int = 64,
+        seed: int = 0,
+        train_config: Optional[TrainConfig] = None,
+        model_config: Optional[AssocConfig] = None,
+    ):
+        if model_config is not None:
+            self.config = model_config
+        else:
+            k = len(network_architectures)
+            if recon_types is None:
+                recon_types = ["bernoulli"] * k
+            if names is None:
+                names = [f"modality_{i}" for i in range(k)]
+            self.config = AssocConfig(
+                [
+                    ModalityConfig(nm, arch, recon=rt)
+                    for nm, arch, rt in zip(names, network_architectures, recon_types)
+                ],
+                assoc_lambda=assoc_lambda,
+            )
+        self.train_config = train_config or TrainConfig(
+            learning_rate=learning_rate, batch_size=batch_size, seed=seed
+        )
+        self.state: TrainState = init_train_state(self.config, self.train_config)
+        self._step_fn = make_train_step(self.config, self.train_config)
+        cd = self.train_config.compute_dtype
+        up = self.train_config.use_pallas
+        self._transform = jax.jit(
+            functools.partial(
+                assoc_mod.transform, cfg=self.config, compute_dtype=cd, use_pallas=up
+            )
+        )
+        self._generate = jax.jit(
+            functools.partial(
+                assoc_mod.generate, cfg=self.config, compute_dtype=cd, use_pallas=up
+            ),
+            static_argnames=("modality",),
+        )
+        self._cross = jax.jit(
+            functools.partial(
+                assoc_mod.cross_generate,
+                cfg=self.config,
+                compute_dtype=cd,
+                use_pallas=up,
+            ),
+            static_argnames=("src", "dst"),
+        )
+
+    # -- training ----------------------------------------------------------
+    def partial_fit(self, xs: Sequence[np.ndarray]) -> float:
+        """One optimizer step on a list of per-modality minibatches.
+
+        Returns the joint cost (the reference returns `cost` from
+        `sess.run`). NOTE: this per-call host sync exists for API parity;
+        throughput-critical code should use `train_loop`/`make_train_step`.
+        """
+        xs = [jnp.asarray(x) for x in xs]
+        self.state, metrics = self._step_fn(self.state, xs)
+        return float(metrics["total"])
+
+    # -- inference ---------------------------------------------------------
+    def transform(self, xs: Sequence[np.ndarray]):
+        """Per-modality latent means [μ_0..μ_{K-1}]."""
+        return self._transform(self.state.params, [jnp.asarray(x) for x in xs])
+
+    def generate(self, z=None, modality: Union[int, str] = 0):
+        """Decode z (or a standard-normal draw) with one modality's decoder."""
+        if z is None:
+            key = jax.random.key(self.train_config.seed + 1)
+            z = jax.random.normal(key, (1, self.config.n_z), jnp.float32)
+        return self._generate(self.state.params, jnp.asarray(z), modality=modality)
+
+    def reconstruct(self, xs: Sequence[np.ndarray]):
+        """Per-modality reconstructions (means: encode → μ → decode)."""
+        zs = self.transform(xs)
+        return tuple(
+            self._generate(self.state.params, z, modality=i)
+            for i, z in enumerate(zs)
+        )
+
+    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
+        """Encode with modality `src`, decode with modality `dst`."""
+        return self._cross(self.state.params, jnp.asarray(x), src=src, dst=dst)
+
+    # -- persistence (reference: tf.train.Saver) ----------------------------
+    def save_model(self, path: str, step: Optional[int] = None) -> str:
+        from vae_assoc_tpu.utils import checkpoint as ckpt
+
+        return ckpt.save(path, self.state, step=step)
+
+    def restore_model(self, path: str, step: Optional[int] = None) -> None:
+        from vae_assoc_tpu.utils import checkpoint as ckpt
+
+        self.state = ckpt.restore(path, self.state, step=step)
+
+
+class VariationalAutoencoder(AssocVariationalAutoEncoder):
+    """Single-modality VAE — the reference's `vae.py` class surface.
+
+    ``VariationalAutoencoder(network_architecture, learning_rate=...,
+    batch_size=...)`` with `partial_fit(X)` / `transform(X)` / `generate(z)`
+    / `reconstruct(X)` taking single arrays instead of per-modality lists.
+    """
+
+    def __init__(
+        self,
+        network_architecture: Mapping[str, int],
+        *,
+        recon_type: str = "bernoulli",
+        learning_rate: float = 1e-3,
+        batch_size: int = 64,
+        seed: int = 0,
+        train_config: Optional[TrainConfig] = None,
+    ):
+        super().__init__(
+            [network_architecture],
+            recon_types=[recon_type],
+            names=["x"],
+            assoc_lambda=0.0,
+            learning_rate=learning_rate,
+            batch_size=batch_size,
+            seed=seed,
+            train_config=train_config,
+        )
+
+    def partial_fit(self, X) -> float:
+        return super().partial_fit([X])
+
+    def transform(self, X):
+        return super().transform([X])[0]
+
+    def reconstruct(self, X):
+        return super().reconstruct([X])[0]

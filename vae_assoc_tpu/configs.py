@@ -1,0 +1,215 @@
+"""Typed configuration for the vae_assoc_tpu framework.
+
+The reference (`navigator8972/vae_assoc`, SURVEY.md §5 "Config / flag system")
+configures models through hard-coded *architecture dicts* passed to the VAE
+constructors, with keys ``n_input, n_z, n_hidden_recog_1, n_hidden_recog_2,
+n_hidden_gener_1, n_hidden_gener_2``. That dict shape is preserved here as the
+public knob set; dataclasses wrap it with the training/precision/parallelism
+options the TPU rebuild adds.
+
+The five driver-defined build configs (BASELINE.json:7-11) are exposed as
+:func:`baseline_config` milestones 1-5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Sequence
+
+import jax.numpy as jnp
+
+# Architecture-dict keys, mirroring the reference constructor API
+# (SURVEY.md §1.1 L2a: `network_architecture` dict).
+ARCH_KEYS = (
+    "n_input",
+    "n_z",
+    "n_hidden_recog_1",
+    "n_hidden_recog_2",
+    "n_hidden_gener_1",
+    "n_hidden_gener_2",
+)
+
+
+def validate_arch(arch: Mapping[str, int]) -> dict:
+    """Validate an architecture dict and return a plain-dict copy."""
+    missing = [k for k in ARCH_KEYS if k not in arch]
+    if missing:
+        raise ValueError(f"architecture dict missing keys: {missing}")
+    out = {k: int(arch[k]) for k in ARCH_KEYS}
+    for k, v in out.items():
+        if v <= 0:
+            raise ValueError(f"architecture dim {k}={v} must be positive")
+    return out
+
+
+def default_image_arch(n_z: int = 20, hidden: int = 500) -> dict:
+    """28x28 grayscale character image branch (BASELINE.json:7)."""
+    return dict(
+        n_input=784,
+        n_z=n_z,
+        n_hidden_recog_1=hidden,
+        n_hidden_recog_2=hidden,
+        n_hidden_gener_1=hidden,
+        n_hidden_gener_2=hidden,
+    )
+
+
+def default_traj_arch(
+    n_dims: int = 2, n_timesteps: int = 100, n_z: int = 20, hidden: int = 500
+) -> dict:
+    """Fixed-length flattened pen-stroke trajectory branch (BASELINE.json:8).
+
+    Raw variable-length strokes are resampled to ``n_timesteps`` points and
+    flattened (x0, y0, x1, y1, ...) before entering the model.
+    """
+    return dict(
+        n_input=n_dims * n_timesteps,
+        n_z=n_z,
+        n_hidden_recog_1=hidden,
+        n_hidden_recog_2=hidden,
+        n_hidden_gener_1=hidden,
+        n_hidden_gener_2=hidden,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModalityConfig:
+    """One modality of the joint model.
+
+    Attributes:
+      name: modality identifier (e.g. "image", "trajectory").
+      arch: reference-style architecture dict (see :data:`ARCH_KEYS`).
+      recon: reconstruction likelihood — "bernoulli" (sigmoid output +
+        cross-entropy; images in [0,1]) or "gaussian" (linear output + sum
+        of squared error; real-valued trajectory features).
+      encoder: "mlp" (reference-parity 2-hidden-layer softplus MLP) or
+        "conv" (TPU-native conv encoder / transposed-conv decoder image
+        branch, BASELINE.json:10 config 4; requires n_input == 784).
+    """
+
+    name: str
+    arch: Mapping[str, int]
+    recon: str = "bernoulli"
+    encoder: str = "mlp"
+
+    def __post_init__(self):
+        object.__setattr__(self, "arch", validate_arch(self.arch))
+        if self.recon not in ("bernoulli", "gaussian"):
+            raise ValueError(f"unknown recon likelihood: {self.recon!r}")
+        if self.encoder not in ("mlp", "conv"):
+            raise ValueError(f"unknown encoder type: {self.encoder!r}")
+        if self.encoder == "conv" and self.arch["n_input"] != 784:
+            raise ValueError("conv encoder requires 28x28 (n_input=784) input")
+
+
+@dataclasses.dataclass(frozen=True)
+class AssocConfig:
+    """Joint associative model: K modalities + association coupling.
+
+    ``assoc_lambda`` weights the cross-modal latent-association term
+    λ·Σ_{i<j} mean_batch ‖z_mean_i − z_mean_j‖² (BASELINE.json:5; SURVEY.md
+    §2.1 "Associative joint VAE"). All modalities must share ``n_z``.
+    """
+
+    modalities: Sequence[ModalityConfig]
+    assoc_lambda: float = 1.0
+
+    def __post_init__(self):
+        object.__setattr__(self, "modalities", tuple(self.modalities))
+        if len(self.modalities) < 1:
+            raise ValueError("need at least one modality")
+        n_zs = {m.arch["n_z"] for m in self.modalities}
+        if len(n_zs) != 1:
+            raise ValueError(f"all modalities must share n_z; got {n_zs}")
+        names = [m.name for m in self.modalities]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate modality names: {names}")
+
+    @property
+    def n_z(self) -> int:
+        return self.modalities[0].arch["n_z"]
+
+    def modality_index(self, name_or_idx) -> int:
+        if isinstance(name_or_idx, int):
+            return name_or_idx
+        for i, m in enumerate(self.modalities):
+            if m.name == name_or_idx:
+                return i
+        raise KeyError(f"no modality named {name_or_idx!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training/runtime options for the jitted train step.
+
+    Attributes:
+      learning_rate / batch_size: mirror the reference constructor kwargs.
+      compute_dtype: matmul dtype. fp32 for the CPU-parity config
+        (BASELINE.json:7); bf16 (with fp32 params/accum/loss) for the TPU
+        data-parallel config (BASELINE.json:11).
+      parity_mode: if True, the loss uses the reference's exact formulation
+        (eps-clamped log on sigmoid probabilities, fixed sequential-friendly
+        reduction order) for fp32 CPU bitwise comparability (BASELINE.json:5).
+        If False, the numerically-stable logit-space formulation is used.
+      use_pallas: route encoder/decoder/loss through fused Pallas TPU kernels
+        where available; falls back to the identical-math jnp path otherwise.
+      steps_per_call: number of train steps fused into one device-side
+        ``lax.scan`` per host call (amortizes dispatch; SURVEY.md §7
+        "Tiny-model TPU efficiency").
+      data_axis: mesh axis name for data parallelism.
+      seed: RNG seed for init + reparameterization streams.
+    """
+
+    learning_rate: float = 1e-3
+    batch_size: int = 64
+    compute_dtype: Any = jnp.float32
+    parity_mode: bool = False
+    use_pallas: bool = False
+    steps_per_call: int = 1
+    data_axis: str = "data"
+    seed: int = 0
+
+    # Adam hyperparameters (TF AdamOptimizer defaults, which the reference
+    # uses implicitly: beta1=0.9, beta2=0.999, eps=1e-8).
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+
+def baseline_config(milestone: int, **overrides):
+    """The five BASELINE.json config milestones (lines 7-11).
+
+    Returns (AssocConfig, TrainConfig). Milestones:
+      1: single-modality MLP image VAE, batch 64, fp32 (CPU parity run)
+      2: trajectory-only VAE (resampled fixed-length flattened input)
+      3: joint associative VAE (image + trajectory, shared latent alignment)
+      4: conv encoder / transposed-conv decoder image branch (Pallas conv)
+      5: data-parallel joint VAE over an 8-device mesh, bf16 matmuls
+    """
+    img = ModalityConfig("image", default_image_arch(), recon="bernoulli")
+    traj = ModalityConfig("trajectory", default_traj_arch(), recon="gaussian")
+    if milestone == 1:
+        model = AssocConfig([img], assoc_lambda=0.0)
+        train = TrainConfig(batch_size=64, compute_dtype=jnp.float32)
+    elif milestone == 2:
+        model = AssocConfig([traj], assoc_lambda=0.0)
+        train = TrainConfig(batch_size=64)
+    elif milestone == 3:
+        model = AssocConfig([img, traj], assoc_lambda=1.0)
+        train = TrainConfig(batch_size=64)
+    elif milestone == 4:
+        conv_img = dataclasses.replace(img, encoder="conv")
+        model = AssocConfig([conv_img, traj], assoc_lambda=1.0)
+        train = TrainConfig(batch_size=64, use_pallas=True)
+    elif milestone == 5:
+        model = AssocConfig([img, traj], assoc_lambda=1.0)
+        train = TrainConfig(
+            batch_size=1024,  # global batch; 128/chip on an 8-chip mesh
+            compute_dtype=jnp.bfloat16,
+            use_pallas=True,
+            steps_per_call=10,
+        )
+    else:
+        raise ValueError(f"milestone must be 1-5, got {milestone}")
+    train = dataclasses.replace(train, **overrides)
+    return model, train

@@ -1,0 +1,149 @@
+"""Joint associative multi-modal VAE: functional core.
+
+K per-modality VAEs trained under one objective (SURVEY.md §2.1
+"Associative joint VAE"; BASELINE.json:5):
+
+    cost = Σ_k mean[recon_k + KL_k] + λ · Σ_{i<j} mean ‖μ_i − μ_j‖²
+
+Cross-modal generation — the product feature — encodes with modality i's
+recognition net and decodes with modality j's generator net
+(`cross_generate`), one jitted function instead of the reference's two
+`sess.run` round-trips (SURVEY.md §3.3).
+
+Params: ``{"modalities": (params_0, ..., params_{K-1})}`` — a tuple pytree,
+one entry per modality, so optax/orbax/shard_map see one tree.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vae_assoc_tpu.configs import AssocConfig
+from vae_assoc_tpu.models import vae as vae_mod
+from vae_assoc_tpu.ops import losses
+
+
+def init_assoc(key: jax.Array, cfg: AssocConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, len(cfg.modalities))
+    return {
+        "modalities": tuple(
+            vae_mod.init_vae(k, m, dtype) for k, m in zip(keys, cfg.modalities)
+        )
+    }
+
+
+def assoc_forward(
+    params: dict,
+    xs: Sequence[jax.Array],
+    cfg: AssocConfig,
+    *,
+    key: Optional[jax.Array] = None,
+    eps: Optional[Sequence[jax.Array]] = None,
+    compute_dtype=jnp.float32,
+    use_pallas: bool = False,
+):
+    """Run all K modality VAEs. ε per modality via split `key` or explicit list."""
+    k = len(cfg.modalities)
+    if len(xs) != k:
+        raise ValueError(f"expected {k} modality inputs, got {len(xs)}")
+    keys = [None] * k
+    if eps is None:
+        if key is None:
+            raise ValueError("assoc_forward needs `key` or `eps`")
+        keys = list(jax.random.split(key, k))
+        eps = [None] * k
+    return tuple(
+        vae_mod.vae_forward(
+            p,
+            x,
+            m,
+            key=kk,
+            eps=e,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
+        )
+        for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps)
+    )
+
+
+def assoc_loss_fn(
+    params: dict,
+    xs: Sequence[jax.Array],
+    cfg: AssocConfig,
+    *,
+    key=None,
+    eps=None,
+    compute_dtype=jnp.float32,
+    parity_mode: bool = False,
+    use_pallas: bool = False,
+):
+    """Joint objective → (total_loss, metrics dict).
+
+    Metrics are first-class jitted outputs (the parity surface, SURVEY.md §5
+    "Metrics"): total, per-modality recon/kl, and the association term.
+    """
+    outs = assoc_forward(
+        params,
+        xs,
+        cfg,
+        key=key,
+        eps=eps,
+        compute_dtype=compute_dtype,
+        use_pallas=use_pallas,
+    )
+    metrics = {}
+    total = jnp.float32(0.0)
+    for m, x, out in zip(cfg.modalities, xs, outs):
+        terms = vae_mod.vae_loss(out, x, m, parity_mode=parity_mode)
+        metrics[f"recon_{m.name}"] = terms["recon"]
+        metrics[f"kl_{m.name}"] = terms["kl"]
+        total = total + terms["recon"] + terms["kl"]
+    assoc = jnp.mean(losses.assoc_loss([o.z_mean for o in outs]))
+    metrics["assoc"] = assoc
+    total = total + jnp.float32(cfg.assoc_lambda) * assoc
+    metrics["total"] = total
+    return total, metrics
+
+
+def transform(params, xs, cfg, *, compute_dtype=jnp.float32, use_pallas=False):
+    """Per-modality latent means: [x_0..x_{K-1}] → [μ_0..μ_{K-1}]."""
+    return tuple(
+        vae_mod.transform(p, x, m, compute_dtype=compute_dtype, use_pallas=use_pallas)
+        for p, x, m in zip(params["modalities"], xs, cfg.modalities)
+    )
+
+
+def generate(params, z, cfg, modality, *, compute_dtype=jnp.float32, use_pallas=False):
+    """Decode latent z with one modality's generator net."""
+    i = cfg.modality_index(modality)
+    return vae_mod.generate(
+        params["modalities"][i],
+        z,
+        cfg.modalities[i],
+        compute_dtype=compute_dtype,
+        use_pallas=use_pallas,
+    )
+
+
+def cross_generate(
+    params, x, cfg, src, dst, *, compute_dtype=jnp.float32, use_pallas=False
+):
+    """Encode with modality `src`, decode with modality `dst` — one fused path.
+
+    image→trajectory: the robot *writes* a character it has only *seen*;
+    trajectory→image: render what a motion looks like (SURVEY.md §0, §3.3).
+    """
+    i = cfg.modality_index(src)
+    z = vae_mod.transform(
+        params["modalities"][i],
+        x,
+        cfg.modalities[i],
+        compute_dtype=compute_dtype,
+        use_pallas=use_pallas,
+    )
+    return generate(
+        params, z, cfg, dst, compute_dtype=compute_dtype, use_pallas=use_pallas
+    )

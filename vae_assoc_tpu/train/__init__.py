@@ -1,0 +1,4 @@
+from vae_assoc_tpu.train.step import TrainState, init_train_state, make_train_step
+from vae_assoc_tpu.train.loop import train_loop
+
+__all__ = ["TrainState", "init_train_state", "make_train_step", "train_loop"]

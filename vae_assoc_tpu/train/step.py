@@ -1,0 +1,107 @@
+"""The single jitted train step.
+
+Replaces the reference's `partial_fit` → `sess.run([optimizer, cost],
+feed_dict=...)` host round-trip (SURVEY.md §3.1-3.2): one compiled XLA
+program computes forward, backward, and the Adam update entirely on device,
+with buffer donation so params/opt_state update in place in HBM.
+
+`steps_per_call > 1` fuses N steps into one `lax.scan` over a pre-staged
+batch stack — the host dispatches once per N steps, which is what makes a
+tiny MLP model TPU-efficient (SURVEY.md §7 "Tiny-model TPU efficiency").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vae_assoc_tpu.configs import AssocConfig, TrainConfig
+from vae_assoc_tpu.models import assoc as assoc_mod
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # [] int32
+    params: dict
+    opt_state: optax.OptState
+    rng: jax.Array  # PRNG key for the reparameterization stream
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    """Adam with the reference's (TF-default) hyperparameters."""
+    return optax.adam(tc.learning_rate, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps)
+
+
+def init_train_state(cfg: AssocConfig, tc: TrainConfig, key=None) -> TrainState:
+    if key is None:
+        key = jax.random.key(tc.seed)
+    k_init, k_train = jax.random.split(key)
+    params = assoc_mod.init_assoc(k_init, cfg)
+    opt_state = make_optimizer(tc).init(params)
+    return TrainState(jnp.int32(0), params, opt_state, k_train)
+
+
+def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axis_name=None):
+    rng, step_key = jax.random.split(state.rng)
+    # Per-step folding keeps the ε stream deterministic given (seed, step).
+    step_key = jax.random.fold_in(step_key, state.step)
+
+    def loss_fn(params):
+        return assoc_mod.assoc_loss_fn(
+            params,
+            xs,
+            cfg,
+            key=step_key,
+            compute_dtype=tc.compute_dtype,
+            parity_mode=tc.parity_mode,
+            use_pallas=tc.use_pallas,
+        )
+
+    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    if axis_name is not None:
+        # DP gradient sync: one psum over the ICI mesh is the entire
+        # communication surface (SURVEY.md §2.2). Metrics are averaged so
+        # the logged loss equals the global-batch loss.
+        grads = jax.lax.pmean(grads, axis_name)
+        metrics = jax.lax.pmean(metrics, axis_name)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(state.step + 1, params, opt_state, rng)
+    return new_state, metrics
+
+
+def make_train_step(cfg: AssocConfig, tc: TrainConfig, *, axis_name=None, jit=True):
+    """Build the train-step callable.
+
+    Returns ``step_fn(state, xs) -> (state', metrics)`` where
+
+    - ``steps_per_call == 1``: ``xs`` is a list of per-modality batches
+      ``[B, n_input_k]``; metrics are scalars.
+    - ``steps_per_call == N``: ``xs`` is a list of stacked batch stacks
+      ``[N, B, n_input_k]``; one `lax.scan` runs N fused steps on device
+      and metrics have a leading ``[N]`` axis.
+
+    ``axis_name`` enables in-step gradient pmean for use under shard_map.
+    """
+    opt = make_optimizer(tc)
+    n = tc.steps_per_call
+
+    if n == 1:
+
+        def step_fn(state: TrainState, xs: Sequence[jax.Array]):
+            return _one_step(state, list(xs), cfg, tc, opt, axis_name)
+
+    else:
+
+        def step_fn(state: TrainState, xs: Sequence[jax.Array]):
+            def body(carry, batch):
+                return _one_step(carry, list(batch), cfg, tc, opt, axis_name)
+
+            return jax.lax.scan(body, state, tuple(xs))
+
+    if jit:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
