@@ -26,6 +26,8 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # Function-scoped: every test sees the same stream regardless of
+    # execution order (a shared generator makes tolerances order-dependent).
     return np.random.default_rng(42)
