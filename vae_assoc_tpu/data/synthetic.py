@@ -42,22 +42,19 @@ _CLASS_CONTROL_POINTS = [
 
 
 def _catmull_rom(ctrl: np.ndarray, n: int) -> np.ndarray:
-    """Sample a Catmull-Rom spline through `ctrl` at n points."""
+    """Sample a Catmull-Rom spline through `ctrl` at n points (vectorized)."""
     p = np.concatenate([ctrl[:1], ctrl, ctrl[-1:]], axis=0)  # clamp ends
     m = len(ctrl) - 1  # segments
-    out = np.empty((n, 2), np.float64)
     ts = np.linspace(0, m, n, endpoint=True)
-    for i, t in enumerate(ts):
-        seg = min(int(t), m - 1)
-        u = t - seg
-        p0, p1, p2, p3 = p[seg], p[seg + 1], p[seg + 2], p[seg + 3]
-        out[i] = 0.5 * (
-            (2 * p1)
-            + (-p0 + p2) * u
-            + (2 * p0 - 5 * p1 + 4 * p2 - p3) * u * u
-            + (-p0 + 3 * p1 - 3 * p2 + p3) * u**3
-        )
-    return out
+    seg = np.clip(ts.astype(int), 0, m - 1)
+    u = (ts - seg)[:, None]
+    p0, p1, p2, p3 = p[seg], p[seg + 1], p[seg + 2], p[seg + 3]
+    return 0.5 * (
+        (2 * p1)
+        + (-p0 + p2) * u
+        + (2 * p0 - 5 * p1 + 4 * p2 - p3) * u * u
+        + (-p0 + 3 * p1 - 3 * p2 + p3) * u**3
+    )
 
 
 def generate_raw_strokes(
@@ -85,11 +82,15 @@ def generate_raw_strokes(
     points = np.zeros((n_samples, max_points, 2), np.float32)
     lengths = np.empty((n_samples,), np.int32)
     labels = rng.integers(0, n_classes, size=n_samples).astype(np.int32)
+    # Base curves are class-constant: compute each once, not per sample.
+    base_curves = [
+        _catmull_rom(np.asarray(c, np.float64), 4 * max_points)
+        for c in _CLASS_CONTROL_POINTS[:n_classes]
+    ]
     for i in range(n_samples):
-        ctrl = np.asarray(_CLASS_CONTROL_POINTS[labels[i]], np.float64)
         n_pts = int(rng.integers(min_points, max_points + 1))
         # Non-uniform sampling: warp parameter speed with a random power.
-        base = _catmull_rom(ctrl, 4 * max_points)
+        base = base_curves[labels[i]]
         warp = np.linspace(0, 1, n_pts) ** rng.uniform(0.6, 1.6)
         idx = np.clip((warp * (len(base) - 1)).astype(int), 0, len(base) - 1)
         curve = base[idx]

@@ -1,0 +1,84 @@
+"""Device-mesh construction and batch-sharding utilities.
+
+The reference is single-process/single-device TensorFlow with no
+communication layer at all (SURVEY.md §2.2); the TPU-native equivalent of a
+comm backend is XLA's built-in collectives over ICI, driven by shardings on
+a `jax.sharding.Mesh`. This module owns mesh construction so that scaling
+from one chip to a v5e-8 slice — or to a multi-host DCN×ICI 2-level mesh —
+is a config change, not a redesign (SURVEY.md §5 "Distributed communication
+backend").
+
+Only the 1-D data axis is exercised by the models (tiny MLPs need no tensor
+parallelism — SURVEY.md §2.2 rows TP/PP/SP/EP are N/A-by-design), but
+`make_mesh` accepts a `model_axis` so pjit sharding rules *could* split
+hidden dims without touching callers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    *,
+    data_axis: str = DATA_AXIS,
+    model_axis: Optional[str] = None,
+    model_parallel: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a 1-D data mesh (default) or a 2-D (data, model) mesh.
+
+    Args:
+      n_devices: use the first N available devices (default: all).
+      model_axis / model_parallel: optional second mesh axis — a hook for
+        tensor-parallel shardings; DP uses `model_parallel=1`.
+      devices: explicit device list (overrides n_devices).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"requested {n_devices} devices, only {len(devices)} available"
+                )
+            devices = devices[:n_devices]
+    devices = np.asarray(devices)
+    if model_axis is None:
+        return Mesh(devices, (data_axis,))
+    if devices.size % model_parallel:
+        raise ValueError(
+            f"{devices.size} devices not divisible by model_parallel={model_parallel}"
+        )
+    grid = devices.reshape(devices.size // model_parallel, model_parallel)
+    return Mesh(grid, (data_axis, model_axis))
+
+
+def batch_spec(mesh: Mesh, *, leading_scan_axis: bool = False) -> P:
+    """PartitionSpec sharding the batch dim of [B, D] (or [N, B, D]) arrays."""
+    axis = mesh.axis_names[0]
+    return P(None, axis) if leading_scan_axis else P(axis)
+
+
+def shard_batch(mesh: Mesh, arrays, *, leading_scan_axis: bool = False):
+    """Place per-modality batch arrays onto the mesh, batch-dim sharded.
+
+    Produces committed global arrays so the jitted DP step consumes them
+    without any implicit resharding transfer.
+    """
+    spec = batch_spec(mesh, leading_scan_axis=leading_scan_axis)
+    sharding = NamedSharding(mesh, spec)
+    return tuple(jax.device_put(a, sharding) for a in arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    """Fully replicate a pytree (e.g. TrainState) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)

@@ -48,9 +48,13 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
     rng, step_key = jax.random.split(state.rng)
     # Per-step folding keeps the ε stream deterministic given (seed, step).
     step_key = jax.random.fold_in(step_key, state.step)
+    if axis_name is not None:
+        # Under shard_map each data shard must draw independent ε — fold the
+        # mesh position into the key (deterministic given (seed, step, shard)).
+        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(axis_name))
 
     def loss_fn(params):
-        return assoc_mod.assoc_loss_fn(
+        total, metrics = assoc_mod.assoc_loss_fn(
             params,
             xs,
             cfg,
@@ -59,13 +63,20 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
         )
+        if axis_name is not None:
+            # DP gradient sync: pmean the scalar loss across the mesh BEFORE
+            # grad. Under shard_map's vma type system the backward pass then
+            # emits exactly one psum over ICI for the (invariant) params —
+            # the entire DP communication surface (SURVEY.md §2.2). (An
+            # explicit post-grad pmean would double-count: grad w.r.t. an
+            # invariant input already all-reduces its cotangent.)
+            total = jax.lax.pmean(total, axis_name)
+        return total, metrics
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
     if axis_name is not None:
-        # DP gradient sync: one psum over the ICI mesh is the entire
-        # communication surface (SURVEY.md §2.2). Metrics are averaged so
-        # the logged loss equals the global-batch loss.
-        grads = jax.lax.pmean(grads, axis_name)
+        # Metrics are shard-local; average them so the logged loss equals
+        # the global-batch loss.
         metrics = jax.lax.pmean(metrics, axis_name)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
