@@ -14,9 +14,42 @@ The five driver-defined build configs (BASELINE.json:7-11) are exposed as
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Sequence
+from typing import Any, Iterator, Mapping, Sequence
 
 import jax.numpy as jnp
+
+
+class FrozenDict(Mapping):
+    """Immutable, hashable mapping — lets whole configs be jit-static args
+    and lru_cache keys (compiled-program caching across calls)."""
+
+    __slots__ = ("_d", "_h")
+
+    def __init__(self, d: Mapping):
+        object.__setattr__(self, "_d", dict(d))
+        object.__setattr__(self, "_h", None)
+
+    def __getitem__(self, k):
+        return self._d[k]
+
+    def __iter__(self) -> Iterator:
+        return iter(self._d)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __hash__(self) -> int:
+        if self._h is None:
+            object.__setattr__(self, "_h", hash(tuple(sorted(self._d.items()))))
+        return self._h
+
+    def __eq__(self, other) -> bool:
+        if isinstance(other, (FrozenDict, dict, Mapping)):
+            return dict(self._d) == dict(other)
+        return NotImplemented
+
+    def __repr__(self) -> str:
+        return f"FrozenDict({self._d!r})"
 
 # Architecture-dict keys, mirroring the reference constructor API
 # (SURVEY.md §1.1 L2a: `network_architecture` dict).
@@ -30,8 +63,8 @@ ARCH_KEYS = (
 )
 
 
-def validate_arch(arch: Mapping[str, int]) -> dict:
-    """Validate an architecture dict and return a plain-dict copy."""
+def validate_arch(arch: Mapping[str, int]) -> FrozenDict:
+    """Validate an architecture dict; returns an immutable hashable copy."""
     missing = [k for k in ARCH_KEYS if k not in arch]
     if missing:
         raise ValueError(f"architecture dict missing keys: {missing}")
@@ -39,7 +72,7 @@ def validate_arch(arch: Mapping[str, int]) -> dict:
     for k, v in out.items():
         if v <= 0:
             raise ValueError(f"architecture dim {k}={v} must be positive")
-    return out
+    return FrozenDict(out)
 
 
 def default_image_arch(n_z: int = 20, hidden: int = 500) -> dict:

@@ -1,0 +1,290 @@
+"""Fused Pallas TPU kernels for the VAE's MLP encoder/decoder stacks.
+
+The north star mandates the per-modality encoder/decoder MLPs execute as
+fused kernels (BASELINE.json:5 "fused Pallas/XLA kernels"). Each kernel
+runs a whole recognition (x → h1 → h2 → μ, logσ²) or generator
+(z → h1 → h2 → out) stack in one `pallas_call`:
+
+- the batch is tiled over the grid; per tile, *all* layer weights live in
+  VMEM and intermediate activations never touch HBM;
+- matmuls use the MXU with `preferred_element_type=float32`; the
+  `compute_dtype` policy (fp32, or bf16 inputs with fp32 accumulation) is
+  baked in statically, matching `models.networks` bit-for-bit at fp32;
+- the backward pass is a second fused kernel (custom VJP) that
+  *rematerializes* h1/h2 from the saved layer inputs instead of storing
+  them — trading MXU FLOPs (cheap here) for HBM bandwidth (the bottleneck)
+  — and accumulates weight gradients across batch tiles in-place.
+
+Drop-in signatures: `encode_mlp_fused` / `decode_mlp_fused` mirror
+`networks.encode_mlp` / `networks.decode_mlp` (SURVEY.md §7 step 4 —
+kernels land behind identical function signatures). Parity is enforced by
+`tests/test_kernels.py` (interpret mode on CPU; real lowering on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU (pallas_call interpret mode)
+
+
+def _interpret() -> bool:
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+def _batch_tile(b: int, limit: int = 256) -> int:
+    # 256 keeps the encoder backward under the ~16MB VMEM budget: batch tile
+    # + all weights + weight-grad accumulators + rematerialized activations.
+    """Largest power-of-two tile ≤ limit dividing b (else one big tile)."""
+    for t in (512, 256, 128, 64, 32, 16, 8):
+        if t <= limit and b % t == 0 and b >= t:
+            return t
+    return b
+
+
+def _mm(a, w, cd):
+    """MXU matmul with the compute-dtype policy: cast inputs, fp32 accum."""
+    return jnp.dot(a.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
+
+
+def _softplus(a):
+    # log1p(exp(a)) with the standard overflow-safe form; matches
+    # jax.nn.softplus (max(a,0) + log1p(exp(-|a|))).
+    return jnp.maximum(a, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(a)))
+
+
+# ---------------------------------------------------------------------------
+# Encoder: x → softplus(x@w1+b1) → softplus(·@w2+b2) → (μ, logσ²)
+# ---------------------------------------------------------------------------
+
+
+def _enc_fwd_kernel(cd, x_ref, w1, b1, w2, b2, wm, bm, wl, bl, mu_ref, lv_ref):
+    h1 = _softplus(_mm(x_ref[:], w1[:], cd) + b1[:])
+    h2 = _softplus(_mm(h1, w2[:], cd) + b2[:])
+    mu_ref[:] = _mm(h2, wm[:], cd) + bm[:]
+    lv_ref[:] = _mm(h2, wl[:], cd) + bl[:]
+
+
+def _enc_bwd_kernel(
+    cd, x_ref, w1, b1, w2, b2, wm, bm, wl, bl, dmu_ref, dlv_ref,
+    dx_ref, dw1, db1, dw2, db2, dwm, dbm, dwl, dbl,
+):
+    # Rematerialize forward activations for this batch tile.
+    a1 = _mm(x_ref[:], w1[:], cd) + b1[:]
+    h1 = _softplus(a1)
+    a2 = _mm(h1, w2[:], cd) + b2[:]
+    h2 = _softplus(a2)
+
+    dmu = dmu_ref[:]
+    dlv = dlv_ref[:]
+    # Head grads + fan-in to h2. (Transposed matmuls also ride the MXU.)
+    dh2 = _mm(dmu, wm[:].T, cd) + _mm(dlv, wl[:].T, cd)
+    da2 = dh2 * jax.nn.sigmoid(a2)  # softplus' = sigmoid
+    dh1 = _mm(da2, w2[:].T, cd)
+    da1 = dh1 * jax.nn.sigmoid(a1)
+    dx_ref[:] = _mm(da1, w1[:].T, cd)
+
+    first = pl.program_id(0) == 0
+    for ref, val in (
+        (dwm, _mm(h2.T, dmu, cd)),
+        (dbm, jnp.sum(dmu, axis=0, keepdims=True)),
+        (dwl, _mm(h2.T, dlv, cd)),
+        (dbl, jnp.sum(dlv, axis=0, keepdims=True)),
+        (dw2, _mm(h1.T, da2, cd)),
+        (db2, jnp.sum(da2, axis=0, keepdims=True)),
+        (dw1, _mm(x_ref[:].T, da1, cd)),
+        (db1, jnp.sum(da1, axis=0, keepdims=True)),
+    ):
+        @pl.when(first)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, val=val):
+            ref[:] += val
+
+
+def _enc_flat(params):
+    r = params["recog"]
+    return (
+        r["h1"]["w"], r["h1"]["b"][None, :],
+        r["h2"]["w"], r["h2"]["b"][None, :],
+        r["out_mean"]["w"], r["out_mean"]["b"][None, :],
+        r["out_logvar"]["w"], r["out_logvar"]["b"][None, :],
+    )
+
+
+def _tile_spec(tile, ncols):
+    return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _full_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _encode_fused(flat, x, cd):
+    return _encode_fused_fwd(flat, x, cd)[0]
+
+
+def _encode_fused_fwd(flat, x, cd):
+    b, n_in = x.shape
+    n_z = flat[4].shape[1]
+    tile = _batch_tile(b)
+    grid = (b // tile,) if b % tile == 0 else (1,)
+    mu, lv = pl.pallas_call(
+        functools.partial(_enc_fwd_kernel, cd),
+        grid=grid,
+        in_specs=[_tile_spec(tile, n_in)] + _full_specs(8),
+        out_specs=(_tile_spec(tile, n_z), _tile_spec(tile, n_z)),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, *flat)
+    return (mu, lv), (flat, x)
+
+
+def _encode_fused_bwd(cd, res, cts):
+    flat, x = res
+    dmu, dlv = cts
+    b, n_in = x.shape
+    tile = _batch_tile(b)
+    grid = (b // tile,) if b % tile == 0 else (1,)
+    n_z = flat[4].shape[1]
+    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
+    dx, *dflat = pl.pallas_call(
+        functools.partial(_enc_bwd_kernel, cd),
+        grid=grid,
+        in_specs=[_tile_spec(tile, n_in)]
+        + _full_specs(8)
+        + [_tile_spec(tile, n_z), _tile_spec(tile, n_z)],
+        out_specs=tuple(
+            [_tile_spec(tile, n_in)]
+            + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for s in w_shapes]
+        ),
+        out_shape=tuple([jax.ShapeDtypeStruct((b, n_in), jnp.float32)] + w_shapes),
+        interpret=_interpret(),
+    )(x, *flat, dmu, dlv)
+    return tuple(dflat), dx
+
+
+_encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
+
+
+def encode_mlp_fused(params, x, *, compute_dtype=jnp.float32, transfer=None):
+    """Drop-in for `networks.encode_mlp`, fused on TPU. softplus only."""
+    flat = _enc_flat(params)
+    mu, lv = _encode_fused(flat, x.astype(jnp.float32), jnp.dtype(compute_dtype).name)
+    return mu, lv
+
+
+# ---------------------------------------------------------------------------
+# Decoder: z → softplus(z@w1+b1) → softplus(·@w2+b2) → out (linear)
+# ---------------------------------------------------------------------------
+
+
+def _dec_fwd_kernel(cd, z_ref, w1, b1, w2, b2, wo, bo, out_ref):
+    h1 = _softplus(_mm(z_ref[:], w1[:], cd) + b1[:])
+    h2 = _softplus(_mm(h1, w2[:], cd) + b2[:])
+    out_ref[:] = _mm(h2, wo[:], cd) + bo[:]
+
+
+def _dec_bwd_kernel(
+    cd, z_ref, w1, b1, w2, b2, wo, bo, dout_ref,
+    dz_ref, dw1, db1, dw2, db2, dwo, dbo,
+):
+    a1 = _mm(z_ref[:], w1[:], cd) + b1[:]
+    h1 = _softplus(a1)
+    a2 = _mm(h1, w2[:], cd) + b2[:]
+    h2 = _softplus(a2)
+
+    dout = dout_ref[:]
+    dh2 = _mm(dout, wo[:].T, cd)
+    da2 = dh2 * jax.nn.sigmoid(a2)
+    dh1 = _mm(da2, w2[:].T, cd)
+    da1 = dh1 * jax.nn.sigmoid(a1)
+    dz_ref[:] = _mm(da1, w1[:].T, cd)
+
+    first = pl.program_id(0) == 0
+    for ref, val in (
+        (dwo, _mm(h2.T, dout, cd)),
+        (dbo, jnp.sum(dout, axis=0, keepdims=True)),
+        (dw2, _mm(h1.T, da2, cd)),
+        (db2, jnp.sum(da2, axis=0, keepdims=True)),
+        (dw1, _mm(z_ref[:].T, da1, cd)),
+        (db1, jnp.sum(da1, axis=0, keepdims=True)),
+    ):
+        @pl.when(first)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, val=val):
+            ref[:] += val
+
+
+def _dec_flat(params):
+    g = params["gener"]
+    return (
+        g["h1"]["w"], g["h1"]["b"][None, :],
+        g["h2"]["w"], g["h2"]["b"][None, :],
+        g["out"]["w"], g["out"]["b"][None, :],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _decode_fused(flat, z, cd):
+    return _decode_fused_fwd(flat, z, cd)[0]
+
+
+def _decode_fused_fwd(flat, z, cd):
+    b, n_z = z.shape
+    n_out = flat[4].shape[1]
+    tile = _batch_tile(b)
+    grid = (b // tile,) if b % tile == 0 else (1,)
+    out = pl.pallas_call(
+        functools.partial(_dec_fwd_kernel, cd),
+        grid=grid,
+        in_specs=[_tile_spec(tile, n_z)] + _full_specs(6),
+        out_specs=_tile_spec(tile, n_out),
+        out_shape=jax.ShapeDtypeStruct((b, n_out), jnp.float32),
+        interpret=_interpret(),
+    )(z, *flat)
+    return out, (flat, z)
+
+
+def _decode_fused_bwd(cd, res, dout):
+    flat, z = res
+    b, n_z = z.shape
+    n_out = flat[4].shape[1]
+    tile = _batch_tile(b)
+    grid = (b // tile,) if b % tile == 0 else (1,)
+    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
+    dz, *dflat = pl.pallas_call(
+        functools.partial(_dec_bwd_kernel, cd),
+        grid=grid,
+        in_specs=[_tile_spec(tile, n_z)] + _full_specs(6) + [_tile_spec(tile, n_out)],
+        out_specs=tuple(
+            [_tile_spec(tile, n_z)]
+            + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for s in w_shapes]
+        ),
+        out_shape=tuple([jax.ShapeDtypeStruct((b, n_z), jnp.float32)] + w_shapes),
+        interpret=_interpret(),
+    )(z, *flat, dout)
+    return tuple(dflat), dz
+
+
+_decode_fused.defvjp(_decode_fused_fwd, _decode_fused_bwd)
+
+
+def decode_mlp_fused(params, z, *, compute_dtype=jnp.float32, transfer=None):
+    """Drop-in for `networks.decode_mlp`, fused on TPU. softplus only."""
+    flat = _dec_flat(params)
+    return _decode_fused(flat, z.astype(jnp.float32), jnp.dtype(compute_dtype).name)

@@ -16,6 +16,7 @@ in the mesh position — see `train.step._one_step`).
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -33,6 +34,7 @@ from vae_assoc_tpu.train.step import (
 )
 
 
+@functools.lru_cache(maxsize=64)
 def make_dp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, *, jit=True):
     """Build the data-parallel train step over `mesh`.
 

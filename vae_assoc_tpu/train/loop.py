@@ -9,6 +9,7 @@ device only once per fused scan. Periodic metrics mirror the reference's
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Callable, Optional, Sequence
 
@@ -17,7 +18,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
-from vae_assoc_tpu.train.step import TrainState, init_train_state, make_train_step
+from vae_assoc_tpu.train.step import (
+    TrainState,
+    _one_step,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
 
 
 def _batches_per_epoch(n_samples: int, batch_size: int) -> int:
@@ -95,4 +102,95 @@ def train_loop(
         history.append(mean_metrics)
         if on_metrics is not None and (epoch % display_step == 0):
             on_metrics(epoch, mean_metrics)
+    return state, history
+
+
+@functools.lru_cache(maxsize=64)
+def _fused_runner(cfg: AssocConfig, tc: TrainConfig, steps: int, shuffle: bool):
+    """Build (and cache) the jitted N-epoch runner for a config.
+
+    Cached at module level so repeated `train_loop_fused` calls with the
+    same config reuse the compiled program instead of re-tracing — configs
+    are hashable frozen dataclasses precisely for this.
+    """
+    opt = make_optimizer(tc)
+    bs = tc.batch_size
+    used = steps * bs
+
+    @functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+    def run(state, key, dev_data, epochs):
+        n = dev_data[0].shape[0]
+
+        def epoch_body(state, ekey):
+            if shuffle:
+                perm = jax.random.permutation(ekey, n)[:used]
+            else:
+                perm = jnp.arange(used)
+            stacks = tuple(a[perm].reshape(steps, bs, a.shape[-1]) for a in dev_data)
+
+            def step_body(carry, batch):
+                return _one_step(carry, list(batch), cfg, tc, opt)
+
+            state, metrics = jax.lax.scan(step_body, state, stacks)
+            return state, {k: jnp.mean(v) for k, v in metrics.items()}
+
+        keys = jax.random.split(key, epochs)
+        return jax.lax.scan(epoch_body, state, keys)
+
+    return run
+
+
+def train_loop_fused(
+    cfg: AssocConfig,
+    tc: TrainConfig,
+    data: Sequence[np.ndarray],
+    *,
+    epochs: int = 10,
+    state: Optional[TrainState] = None,
+    shuffle: bool = True,
+):
+    """Fully device-resident training: N epochs in ONE dispatched program.
+
+    Where `train_loop` pays a host↔device round trip per fused call (which
+    dominates wall-clock behind a high-latency device link), this variant
+    compiles shuffle → gather → all train steps of ALL epochs into a single
+    jitted double `lax.scan` (epochs outer, steps inner). The host touches
+    the device exactly once to launch and once to fetch the [epochs]-shaped
+    metric means — the "multi-step lax.scan on device from day one" design
+    of SURVEY.md §7. Shuffling uses a device-side `jax.random.permutation`
+    per epoch (deterministic in tc.seed).
+
+    Returns (state, history) like `train_loop`; `samples_per_sec` is the
+    aggregate over the whole run (one number, repeated per epoch entry).
+    """
+    n = data[0].shape[0]
+    for k, d in enumerate(data):
+        if d.shape[0] != n:
+            raise ValueError(f"modality {k} has {d.shape[0]} rows, expected {n}")
+    bs, spc = tc.batch_size, tc.steps_per_call
+    steps = (n // bs // spc) * spc  # steps per epoch, whole fused calls only
+    if steps == 0:
+        raise ValueError(
+            f"dataset of {n} rows < batch_size*steps_per_call = {bs * spc}"
+        )
+    used = steps * bs
+    if state is None:
+        state = init_train_state(cfg, tc)
+    dev_data = tuple(jax.device_put(jnp.asarray(d)) for d in data)
+    shuffle_key = jax.random.key(np.uint32(tc.seed) ^ np.uint32(0x5EED))
+
+    run = _fused_runner(cfg, tc, steps, shuffle)
+    # The first (cfg, tc, shapes, epochs) combination pays compilation
+    # inside dt; repeat calls hit the module-level jit cache (configs are
+    # hashable) — for steady-state numbers call twice and read the second.
+    t0 = time.perf_counter()
+    state, em = run(state, shuffle_key, dev_data, epochs)
+    em = jax.device_get(em)
+    dt = time.perf_counter() - t0
+    sps = epochs * used / dt
+    history = []
+    for e in range(epochs):
+        h = {k: float(v[e]) for k, v in em.items()}
+        h["samples_per_sec"] = sps
+        history.append(h)
     return state, history

@@ -84,6 +84,7 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
     return new_state, metrics
 
 
+@functools.lru_cache(maxsize=64)
 def make_train_step(cfg: AssocConfig, tc: TrainConfig, *, axis_name=None, jit=True):
     """Build the train-step callable.
 
