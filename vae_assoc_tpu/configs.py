@@ -115,9 +115,13 @@ class ModalityConfig:
       recon: reconstruction likelihood — "bernoulli" (sigmoid output +
         cross-entropy; images in [0,1]) or "gaussian" (linear output + sum
         of squared error; real-valued trajectory features).
-      encoder: "mlp" (reference-parity 2-hidden-layer softplus MLP) or
+      encoder: "mlp" (reference-parity 2-hidden-layer softplus MLP),
         "conv" (TPU-native conv encoder / transposed-conv decoder image
-        branch, BASELINE.json:10 config 4; requires n_input == 784).
+        branch via XLA convolutions, BASELINE.json:10 config 4; requires
+        n_input == 784), or "conv_pallas" (same tower through the Pallas
+        im2col conv kernels in kernels/conv.py — parity-tested, but XLA's
+        native conv lowering is faster at these small shapes, so "conv"
+        is the default fast path).
     """
 
     name: str
@@ -129,9 +133,9 @@ class ModalityConfig:
         object.__setattr__(self, "arch", validate_arch(self.arch))
         if self.recon not in ("bernoulli", "gaussian"):
             raise ValueError(f"unknown recon likelihood: {self.recon!r}")
-        if self.encoder not in ("mlp", "conv"):
+        if self.encoder not in ("mlp", "conv", "conv_pallas"):
             raise ValueError(f"unknown encoder type: {self.encoder!r}")
-        if self.encoder == "conv" and self.arch["n_input"] != 784:
+        if self.encoder.startswith("conv") and self.arch["n_input"] != 784:
             raise ValueError("conv encoder requires 28x28 (n_input=784) input")
 
 

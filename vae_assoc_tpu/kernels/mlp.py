@@ -48,7 +48,14 @@ def _batch_tile(b: int, limit: int = 256) -> int:
 
 
 def _mm(a, w, cd):
-    """MXU matmul with the compute-dtype policy: cast inputs, fp32 accum."""
+    """MXU matmul with the compute-dtype policy (mirrors networks._linear):
+    fp32 → HIGHEST (true fp32 passes, parity-grade); bf16 → bf16 inputs with
+    fp32 accumulation (the BASELINE.json:11 bf16-matmul policy)."""
+    if jnp.dtype(cd) == jnp.float32:
+        return jnp.dot(
+            a, w, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     return jnp.dot(a.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
 
 

@@ -29,9 +29,17 @@ class VAEOutputs(NamedTuple):
 
 def _net_fns(cfg: ModalityConfig, use_pallas: bool = False):
     """Resolve (init, encode, decode) for the modality's encoder type."""
-    if cfg.encoder == "conv":
+    if cfg.encoder in ("conv", "conv_pallas"):
         from vae_assoc_tpu.models import conv as conv_mod
 
+        if cfg.encoder == "conv_pallas":
+            from vae_assoc_tpu.kernels import conv as kconv
+
+            return (
+                conv_mod.init_conv_vae_params,
+                kconv.encode_conv_fused,
+                kconv.decode_conv_fused,
+            )
         return conv_mod.init_conv_vae_params, conv_mod.encode_conv, conv_mod.decode_conv
     if use_pallas:
         from vae_assoc_tpu.kernels import mlp as kmlp
