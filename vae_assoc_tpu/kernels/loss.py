@@ -1,0 +1,184 @@
+"""Fused joint-loss Pallas kernel: recon + KL + association in one pass.
+
+The joint objective's per-sample terms (SURVEY.md §3.2; ops/losses.py):
+
+    recon_k  (Bernoulli logit-CE or Gaussian SSE, summed over features)
+    kl_k     −½ Σ (1 + logσ² − μ² − σ²)
+    assoc    Σ_{i<j} ‖μ_i − μ_j‖²
+
+are all elementwise + row reductions over tensors that the encoder/decoder
+kernels just produced. This kernel computes every term for all K
+modalities in ONE pass over the batch tile — one kernel launch instead of
+~5K fused XLA loops — writing a [B, n_terms] matrix (columns: recon_k…,
+kl_k…, assoc). The custom VJP is a second fused kernel emitting the
+closed-form gradients (σ(l)−x, 2(x̂−x), μ·g, ½(σ²−1)·g, 2Δμ·g…).
+
+Means over the batch and the λ-weighted total stay in XLA (scalars).
+Parity vs ops/losses.py is enforced in tests/test_fused_loss.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_assoc_tpu.kernels.mlp import _interpret
+
+
+def _row_sum(x):
+    return jnp.sum(x, axis=-1, keepdims=True)
+
+
+def _loss_kernel(kinds, *refs):
+    k = len(kinds)
+    out_ref = refs[-1]
+    xs = refs[:k]
+    recons = refs[k : 2 * k]
+    mus = refs[2 * k : 3 * k]
+    lvs = refs[3 * k : 4 * k]
+    cols = []
+    for kind, x_ref, r_ref in zip(kinds, xs, recons):
+        x = x_ref[:]
+        r = r_ref[:]
+        if kind == "bernoulli":
+            # Stable sigmoid CE from logits: max(l,0) − l·x + log1p(e^−|l|).
+            ce = jnp.maximum(r, 0.0) - r * x + jnp.log1p(jnp.exp(-jnp.abs(r)))
+            cols.append(_row_sum(ce))
+        else:
+            d = x - r
+            cols.append(_row_sum(d * d))
+    for mu_ref, lv_ref in zip(mus, lvs):
+        mu = mu_ref[:]
+        lv = lv_ref[:]
+        cols.append(-0.5 * _row_sum(1.0 + lv - mu * mu - jnp.exp(lv)))
+    assoc = jnp.zeros_like(cols[0])
+    for i in range(k):
+        for j in range(i + 1, k):
+            d = mus[i][:] - mus[j][:]
+            assoc = assoc + _row_sum(d * d)
+    cols.append(assoc)
+    for c, col in enumerate(cols):
+        out_ref[:, c : c + 1] = col
+
+
+def _loss_bwd_kernel(kinds, refs, douts):
+    """refs: (g_ref, xs…, recons…, mus…, lvs…); douts: (drecons…, dmus…, dlvs…).
+
+    g_ref is the [B, n_terms] cotangent of the per-sample loss matrix.
+    """
+    k = len(kinds)
+    g_ref = refs[0]
+    xs = refs[1 : 1 + k]
+    recons = refs[1 + k : 1 + 2 * k]
+    mus = refs[1 + 2 * k : 1 + 3 * k]
+    lvs = refs[1 + 3 * k : 1 + 4 * k]
+    drecons = douts[:k]
+    dmus = douts[k : 2 * k]
+    dlvs = douts[2 * k : 3 * k]
+    g = g_ref[:]
+    for i, kind in enumerate(kinds):
+        g_rec = g[:, i : i + 1]
+        x = xs[i][:]
+        r = recons[i][:]
+        if kind == "bernoulli":
+            drecons[i][:] = (jax.nn.sigmoid(r) - x) * g_rec
+        else:
+            drecons[i][:] = 2.0 * (r - x) * g_rec
+    for i in range(k):
+        g_kl = g[:, k + i : k + i + 1]
+        mu = mus[i][:]
+        lv = lvs[i][:]
+        dmu = mu * g_kl
+        dlv = 0.5 * (jnp.exp(lv) - 1.0) * g_kl
+        g_as = g[:, 2 * k : 2 * k + 1]
+        for j in range(k):
+            if j == i:
+                continue
+            dmu = dmu + 2.0 * (mu - mus[j][:]) * g_as
+        dmus[i][:] = dmu
+        dlvs[i][:] = dlv
+
+
+def _vmem_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _row_spec(tile, ncols):
+    return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _loss_tile(b, arrays, n_live=4):
+    """Batch tile bounded by VMEM: n_live × the per-sample row bytes
+    (inputs + grads + elementwise temps), lanes padded to 128."""
+    per_sample = 4 * n_live * sum(
+        ((a.shape[-1] + 127) // 128) * 128 for a in arrays
+    )
+    from vae_assoc_tpu.kernels.mlp import _batch_tile
+
+    limit = max(8, (6 * 1024 * 1024) // max(per_sample, 1))
+    return _batch_tile(b, limit=min(limit, 512))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
+    """Per-sample loss matrix [B, 2K+1]: recon_0..K, kl_0..K, assoc.
+
+    kinds: tuple of "bernoulli"/"gaussian" per modality (static).
+    xs/recons: per-modality [B, D_k]; mus/lvs: per-modality [B, n_z].
+    """
+    return _loss_fwd(kinds, xs, recons, mus, lvs)[0]
+
+
+def _loss_fwd(kinds, xs, recons, mus, lvs):
+    k = len(kinds)
+    b = xs[0].shape[0]
+    args = [a.astype(jnp.float32) for a in (*xs, *recons, *mus, *lvs)]
+    tile = _loss_tile(b, args)
+    out = pl.pallas_call(
+        functools.partial(_loss_kernel, kinds),
+        grid=(b // tile,),
+        in_specs=[_row_spec(tile, a.shape[-1]) for a in args],
+        out_specs=_row_spec(tile, 2 * k + 1),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * k + 1), jnp.float32),
+        interpret=_interpret(),
+    )(*args)
+    return out, (tuple(args),)
+
+
+def _loss_bwd(kinds, res, g):
+    (args,) = res
+    k = len(kinds)
+    xs = args[:k]
+    recons = args[k : 2 * k]
+    mus = args[2 * k : 3 * k]
+    lvs = args[3 * k : 4 * k]
+
+    def kern(*refs_and_outs):
+        _loss_bwd_kernel(kinds, refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :])
+
+    out_shapes = tuple(
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*recons, *mus, *lvs)
+    )
+    b = xs[0].shape[0]
+    tile = _loss_tile(b, args, n_live=6)
+    grads = pl.pallas_call(
+        kern,
+        grid=(b // tile,),
+        in_specs=[_row_spec(tile, 2 * k + 1)]
+        + [_row_spec(tile, a.shape[-1]) for a in args],
+        out_specs=tuple(_row_spec(tile, s.shape[-1]) for s in out_shapes),
+        out_shape=out_shapes,
+        interpret=_interpret(),
+    )(g.astype(jnp.float32), *args)
+    drecons = tuple(grads[:k])
+    dmus = tuple(grads[k : 2 * k])
+    dlvs = tuple(grads[2 * k : 3 * k])
+    dxs = tuple(jnp.zeros_like(x) for x in xs)  # targets are not differentiated
+    return dxs, drecons, dmus, dlvs
+
+
+joint_loss_terms_fused.defvjp(_loss_fwd, _loss_bwd)

@@ -96,12 +96,34 @@ def assoc_loss_fn(
     )
     metrics = {}
     total = jnp.float32(0.0)
-    for m, x, out in zip(cfg.modalities, xs, outs):
-        terms = vae_mod.vae_loss(out, x, m, parity_mode=parity_mode)
-        metrics[f"recon_{m.name}"] = terms["recon"]
-        metrics[f"kl_{m.name}"] = terms["kl"]
-        total = total + terms["recon"] + terms["kl"]
-    assoc = jnp.mean(losses.assoc_loss([o.z_mean for o in outs]))
+    if use_pallas and not parity_mode:
+        # One fused Pallas pass over all K modalities' loss terms
+        # (kernels/loss.py). parity_mode needs the ε-clamped-probs
+        # formulation, which only the jnp path provides.
+        from vae_assoc_tpu.kernels.loss import joint_loss_terms_fused
+
+        k = len(cfg.modalities)
+        kinds = tuple(m.recon for m in cfg.modalities)
+        terms = joint_loss_terms_fused(
+            kinds,
+            tuple(xs),
+            tuple(o.recon for o in outs),
+            tuple(o.z_mean for o in outs),
+            tuple(o.z_logvar for o in outs),
+        )
+        col_means = jnp.mean(terms, axis=0)
+        for i, m in enumerate(cfg.modalities):
+            metrics[f"recon_{m.name}"] = col_means[i]
+            metrics[f"kl_{m.name}"] = col_means[k + i]
+            total = total + col_means[i] + col_means[k + i]
+        assoc = col_means[2 * k]
+    else:
+        for m, x, out in zip(cfg.modalities, xs, outs):
+            terms = vae_mod.vae_loss(out, x, m, parity_mode=parity_mode)
+            metrics[f"recon_{m.name}"] = terms["recon"]
+            metrics[f"kl_{m.name}"] = terms["kl"]
+            total = total + terms["recon"] + terms["kl"]
+        assoc = jnp.mean(losses.assoc_loss([o.z_mean for o in outs]))
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total
