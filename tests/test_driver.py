@@ -1,0 +1,138 @@
+"""Experiment driver CLI, eval harness, metrics JSONL, viz, kill-and-resume."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from vae_assoc_tpu.configs import AssocConfig, ModalityConfig, TrainConfig
+from vae_assoc_tpu.models import assoc as assoc_mod
+from vae_assoc_tpu.train import eval as eval_mod
+from vae_assoc_tpu.utils.logging import MetricsLogger, read_jsonl
+
+TINY = dict(
+    n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+    n_hidden_gener_1=16, n_hidden_gener_2=16,
+)
+
+
+def tiny_cfg():
+    return AssocConfig(
+        [
+            ModalityConfig("image", TINY, recon="bernoulli"),
+            ModalityConfig("trajectory", TINY, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+
+
+def test_cross_modal_mse_keys_and_values(rng):
+    cfg = tiny_cfg()
+    params = assoc_mod.init_assoc(jax.random.key(0), cfg)
+    xs = [
+        rng.uniform(0, 1, (32, 24)).astype(np.float32),
+        rng.normal(size=(32, 24)).astype(np.float32),
+    ]
+    mse = eval_mod.evaluate(params, xs, cfg)
+    assert set(mse) == {
+        "image->image", "image->trajectory",
+        "trajectory->image", "trajectory->trajectory",
+    }
+    assert all(np.isfinite(v) and v >= 0 for v in mse.values())
+
+
+def test_metrics_logger_roundtrip(tmp_path):
+    path = str(tmp_path / "m.jsonl")
+    with MetricsLogger(path) as log:
+        log.write(epoch=0, total=12.5)
+        log.write(epoch=1, total=10.0, note="ok")
+    recs = read_jsonl(path)
+    assert len(recs) == 2
+    assert recs[1]["total"] == 10.0 and recs[1]["note"] == "ok"
+
+
+def test_viz_figures(rng):
+    pytest.importorskip("matplotlib")
+    from vae_assoc_tpu.utils import viz
+
+    imgs = rng.uniform(0, 1, (8, 784)).astype(np.float32)
+    fig = viz.reconstruction_grid(imgs, imgs)
+    assert fig is not None
+    trajs = rng.uniform(-1, 1, (8, 200)).astype(np.float32)
+    assert viz.trajectories_over_images(imgs, trajs) is not None
+    z = rng.normal(size=(64, 4)).astype(np.float32)
+    assert viz.latent_scatter(z, rng.integers(0, 10, 64)) is not None
+
+
+def test_driver_cli_end_to_end(tmp_path):
+    """Full L3 surface in a subprocess on the CPU mesh: train, JSONL,
+    checkpoint, resume, plots, eval."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=1"
+    metrics = tmp_path / "metrics.jsonl"
+    ckpt_dir = tmp_path / "ckpt"
+    plots = tmp_path / "plots"
+    base = [
+        sys.executable, "-m", "vae_assoc_tpu.train.driver",
+        "--config", "3", "--data", "synthetic", "--n-samples", "256",
+        "--batch-size", "32", "--epochs", "3",
+        "--metrics", str(metrics), "--ckpt-dir", str(ckpt_dir),
+        "--plots-dir", str(plots),
+    ]
+    out = subprocess.run(base, env=env, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    recs = read_jsonl(str(metrics))
+    totals = [r["total"] for r in recs if "total" in r]
+    assert len(totals) == 3
+    mse_recs = [r for r in recs if "mse_image->trajectory" in r]
+    assert mse_recs, recs
+    assert (plots / "reconstructions.png").exists()
+    assert (plots / "image_to_trajectory.png").exists()
+    assert (plots / "latent_scatter.png").exists()
+
+    # Kill-and-resume (SURVEY.md §5 "Failure detection"): a new process
+    # restores the checkpoint and continues from the saved step.
+    out2 = subprocess.run(
+        base + ["--resume", "--epochs", "2"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "resumed from step" in out2.stdout
+
+
+def test_resume_reproduces_uninterrupted_run(rng):
+    """Checkpoint determinism: save at step N, train M more; restore and
+    retrain M — identical losses (exact-resume guarantee, SURVEY.md §5)."""
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+    import tempfile
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16)
+    xs = [
+        rng.uniform(0, 1, (16, 24)).astype(np.float32),
+        rng.normal(size=(16, 24)).astype(np.float32),
+    ]
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    for _ in range(3):
+        state, _ = step(state, xs)
+    with tempfile.TemporaryDirectory() as td:
+        ckpt.save(td, state)
+        cont = [float(step_out[1]["total"]) for step_out in _run(step, state, xs, 4)]
+        restored = ckpt.restore(td, init_train_state(cfg, tc))
+        replay = [float(step_out[1]["total"]) for step_out in _run(step, restored, xs, 4)]
+    assert cont == replay
+
+
+def _run(step, state, xs, n):
+    outs = []
+    for _ in range(n):
+        state, m = step(state, xs)
+        outs.append((state, m))
+    return outs

@@ -1,0 +1,210 @@
+"""Experiment driver CLI — the reference's L3 layer (SURVEY.md §1.1, §3.1).
+
+The reference drives training from a main script: build arch dicts, load
+paired data, epoch loop with periodic cost prints, periodic checkpoint,
+post-train cross-modal generation + plots. Same surface here:
+
+    python -m vae_assoc_tpu.train.driver \
+        --config 3 --epochs 50 --data synthetic --n-samples 4096 \
+        --ckpt-dir /tmp/run1/ckpt --metrics /tmp/run1/metrics.jsonl \
+        --plots-dir /tmp/run1/plots --profile-epochs 2
+
+plus TPU-era controls: --fused (whole-run single device program),
+--batch-size/--steps-per-call/--bf16/--use-pallas overrides, a
+`jax.profiler` trace flag, and resume from the latest checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="vae_assoc_tpu.train.driver", description=__doc__
+    )
+    p.add_argument("--config", type=int, default=3, choices=range(1, 6),
+                   help="BASELINE config milestone 1-5")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--data", choices=("synthetic", "uji"), default="synthetic")
+    p.add_argument("--n-samples", type=int, default=4096,
+                   help="synthetic dataset size")
+    p.add_argument("--uji-paths", nargs="*", default=[],
+                   help="UJI Pen Characters v2 files (--data uji)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--steps-per-call", type=int, default=None)
+    p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 MXU-pass matmul policy (fp32 accumulation)")
+    p.add_argument("--use-pallas", action="store_true",
+                   help="route through the fused Pallas kernels")
+    p.add_argument("--fused", action="store_true",
+                   help="train_loop_fused: all epochs in one device program")
+    p.add_argument("--display-step", type=int, default=1)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--ckpt-every", type=int, default=10,
+                   help="checkpoint every N epochs")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint from --ckpt-dir")
+    p.add_argument("--metrics", default=None, help="metrics JSONL path")
+    p.add_argument("--plots-dir", default=None,
+                   help="write post-train eval plots here")
+    p.add_argument("--profile-epochs", type=int, default=0,
+                   help="wrap the first N epochs in a jax.profiler trace")
+    p.add_argument("--profile-dir", default="/tmp/vae_assoc_tpu_profile")
+    return p
+
+
+def load_data(args):
+    from vae_assoc_tpu.data.pipeline import PairedDataset
+
+    if args.data == "uji":
+        if not args.uji_paths:
+            raise SystemExit("--data uji requires --uji-paths")
+        ds = PairedDataset.from_uji(args.uji_paths)
+    else:
+        ds = PairedDataset.from_synthetic(args.n_samples, seed=args.seed or 0)
+    imgs, trajs = ds.features()
+    return ds, [imgs, trajs]
+
+
+def main(argv=None) -> int:
+    args = build_argparser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from vae_assoc_tpu.configs import baseline_config
+    from vae_assoc_tpu.train import eval as eval_mod
+    from vae_assoc_tpu.train.loop import train_loop, train_loop_fused
+    from vae_assoc_tpu.train.step import init_train_state
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+    from vae_assoc_tpu.utils.logging import MetricsLogger
+
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.steps_per_call is not None:
+        overrides["steps_per_call"] = args.steps_per_call
+    if args.learning_rate is not None:
+        overrides["learning_rate"] = args.learning_rate
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if args.bf16:
+        overrides["compute_dtype"] = jnp.bfloat16
+    if args.use_pallas:
+        overrides["use_pallas"] = True
+    cfg, tc = baseline_config(args.config, **overrides)
+    k = len(cfg.modalities)
+
+    ds, data = load_data(args)
+    data = data[:k]
+    print(
+        f"config {args.config}: {k} modalit{'y' if k == 1 else 'ies'}, "
+        f"{len(ds)} samples, batch {tc.batch_size}, "
+        f"{jax.default_backend()} backend",
+        flush=True,
+    )
+
+    state = init_train_state(cfg, tc)
+    if args.resume:
+        if not args.ckpt_dir:
+            raise SystemExit("--resume requires --ckpt-dir")
+        state = ckpt.restore(args.ckpt_dir, state)
+        print(f"resumed from step {int(state.step)}", flush=True)
+
+    log = MetricsLogger(args.metrics, echo=True)
+
+    def run(state, epochs):
+        if args.fused:
+            return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
+        return train_loop(cfg, tc, data, epochs=epochs, state=state)
+
+    epochs_done = 0
+    if args.profile_epochs > 0:
+        # Wrap the first N epochs in a profiler trace (SURVEY.md §5
+        # "Tracing/profiling"); view with XProf/Perfetto.
+        jax.profiler.start_trace(args.profile_dir)
+        try:
+            state, history = run(state, args.profile_epochs)
+        finally:
+            jax.profiler.stop_trace()
+        for h in history:
+            log.write(epoch=epochs_done, **h)
+            epochs_done += 1
+        print(f"profile written to {args.profile_dir}", flush=True)
+
+    # Train in checkpoint-interval chunks so periodic saves see live state.
+    chunk = args.ckpt_every if (args.ckpt_dir and args.ckpt_every) else args.epochs
+    while epochs_done < args.epochs:
+        n = min(chunk, args.epochs - epochs_done)
+        state, history = run(state, n)
+        for e, h in enumerate(history):
+            if (epochs_done + e) % args.display_step == 0:
+                log.write(epoch=epochs_done + e, **h)
+        epochs_done += n
+        if args.ckpt_dir and epochs_done < args.epochs:
+            ckpt.save(args.ckpt_dir, state)
+
+    if args.ckpt_dir:
+        ckpt.save(args.ckpt_dir, state)
+        print(f"checkpoint saved to {args.ckpt_dir}", flush=True)
+
+    # Post-train: cross-modal MSE eval (the quality gate) + plots.
+    n_eval = min(512, len(ds))
+    eval_xs = [d[:n_eval] for d in data]
+    mse = eval_mod.evaluate(
+        state.params, eval_xs, cfg,
+        compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
+    )
+    log.write(**{f"mse_{k}": v for k, v in mse.items()})
+
+    if args.plots_dir and k >= 1:
+        os.makedirs(args.plots_dir, exist_ok=True)
+        from vae_assoc_tpu.models import assoc as assoc_mod
+        from vae_assoc_tpu.utils import viz
+
+        imgs = np.asarray(eval_xs[0][:8])
+        recon = np.asarray(
+            assoc_mod.cross_generate(
+                state.params, eval_xs[0][:8], cfg, src=0, dst=0,
+                compute_dtype=tc.compute_dtype,
+            )
+        )
+        viz.reconstruction_grid(imgs, recon).savefig(
+            os.path.join(args.plots_dir, "reconstructions.png"), dpi=120
+        )
+        zs = assoc_mod.transform(
+            state.params, eval_xs, cfg, compute_dtype=tc.compute_dtype
+        )
+        labels = None
+        if ds.labels is not None:
+            labels = np.asarray(ds.labels)[:n_eval]
+        viz.latent_scatter(np.asarray(zs[0]), labels).savefig(
+            os.path.join(args.plots_dir, "latent_scatter.png"), dpi=120
+        )
+        if k >= 2:
+            gen_traj = np.asarray(
+                assoc_mod.cross_generate(
+                    state.params, eval_xs[0][:8], cfg, src=0, dst=1,
+                    compute_dtype=tc.compute_dtype,
+                )
+            )
+            viz.trajectories_over_images(imgs, gen_traj).savefig(
+                os.path.join(args.plots_dir, "image_to_trajectory.png"), dpi=120
+            )
+        print(f"plots written to {args.plots_dir}", flush=True)
+
+    log.close()
+    print("done:", " ".join(f"{k}={v:.5f}" for k, v in mse.items()), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Visualization / eval plots — the reference's L4 layer (SURVEY.md §1.1).
+
+The reference eyeballs training through matplotlib: reconstruction grids,
+generated trajectories overlaid on the paired images, and a 2-D latent
+scatter. Same plots here, as pure functions returning a matplotlib Figure
+(caller saves/shows). matplotlib is imported lazily so the core framework
+has no hard viz dependency.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def reconstruction_grid(x, x_recon, *, image_size: int = 28, n: int = 8):
+    """Top row originals, bottom row reconstructions ([N, size²] in [0,1])."""
+    plt = _plt()
+    x = np.asarray(x)[:n]
+    r = np.asarray(x_recon)[:n]
+    n = x.shape[0]
+    fig, axes = plt.subplots(2, n, figsize=(1.2 * n, 2.6))
+    axes = np.atleast_2d(axes)
+    for i in range(n):
+        for row, img in ((0, x[i]), (1, r[i])):
+            ax = axes[row, i]
+            ax.imshow(img.reshape(image_size, image_size), cmap="gray_r",
+                      vmin=0, vmax=1)
+            ax.set_xticks([])
+            ax.set_yticks([])
+    axes[0, 0].set_ylabel("input", fontsize=9)
+    axes[1, 0].set_ylabel("recon", fontsize=9)
+    fig.tight_layout()
+    return fig
+
+
+def trajectories_over_images(
+    images, trajs_flat, *, image_size: int = 28, n: int = 8, n_dims: int = 2
+):
+    """Generated trajectories drawn over their paired character images.
+
+    trajs_flat: [N, T*2] normalized to [-1,1]² (the pipeline convention).
+    The cross-modal showcase: image→trajectory 'writing' (SURVEY.md §3.3).
+    """
+    plt = _plt()
+    imgs = np.asarray(images)[:n]
+    tr = np.asarray(trajs_flat)[:n].reshape(n, -1, n_dims)
+    fig, axes = plt.subplots(1, n, figsize=(1.4 * n, 1.6))
+    axes = np.atleast_1d(axes)
+    margin = 1.5
+    scale = (image_size - 1 - 2 * margin) / 2.0
+    for i, ax in enumerate(axes[:n]):
+        ax.imshow(imgs[i].reshape(image_size, image_size), cmap="gray_r",
+                  vmin=0, vmax=1)
+        px = margin + (tr[i, :, 0] + 1.0) * scale
+        py = margin + (1.0 - tr[i, :, 1]) * scale
+        ax.plot(px, py, lw=1.5)
+        ax.scatter(px[:1], py[:1], s=12)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    fig.tight_layout()
+    return fig
+
+
+def latent_scatter(z, labels: Optional[Sequence[int]] = None, *, dims=(0, 1)):
+    """2-D scatter of latent means, colored by class label when given."""
+    plt = _plt()
+    z = np.asarray(z)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    c = None if labels is None else np.asarray(labels)
+    sc = ax.scatter(z[:, dims[0]], z[:, dims[1]], c=c, cmap="tab10", s=8)
+    if labels is not None:
+        fig.colorbar(sc, ax=ax, label="class")
+    ax.set_xlabel(f"z[{dims[0]}]")
+    ax.set_ylabel(f"z[{dims[1]}]")
+    fig.tight_layout()
+    return fig
