@@ -1,0 +1,83 @@
+"""Native C++ UJI parser: build, parse, bit-parity with the Python parser."""
+
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from vae_assoc_tpu import native
+from vae_assoc_tpu.data import uji
+
+UJI_TEXT = textwrap.dedent(
+    """\
+    // UJIpenchars2 style fixture
+    WORD a w01
+      NUMSTROKES 2
+        POINTS 3 # 10 20 11 21 12 22
+        POINTS 2 # 30 40 31 41
+    WORD b w01
+      NUMSTROKES 1
+        POINTS 4 # 1 2 3 4 5 6 7 8
+    WORD a w02
+      NUMSTROKES 1
+        POINTS 400 # {}
+    """
+).format(" ".join(str(i % 97) for i in range(800)))
+
+
+@pytest.fixture(scope="module")
+def uji_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("uji") / "sample.txt"
+    p.write_text(UJI_TEXT)
+    return str(p)
+
+
+def test_native_builds():
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    assert os.path.exists(native.build())
+
+
+def test_native_matches_python_bitwise(uji_file):
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    ref = uji.load_uji_files([uji_file], max_points=256, native="never")
+    got = uji.load_uji_files([uji_file], max_points=256, native="always")
+    np.testing.assert_array_equal(got["points"], ref["points"])
+    np.testing.assert_array_equal(got["lengths"], ref["lengths"])
+    np.testing.assert_array_equal(got["labels"], ref["labels"])
+    assert got["label_names"] == ref["label_names"]
+
+
+def test_native_subsample_and_multistroke(uji_file):
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    got = uji.load_uji_files([uji_file], max_points=64, native="always")
+    # 3 samples: 'a' (5 pts), 'b' (4 pts), 'a' (400 → subsampled to 64)
+    assert got["points"].shape == (3, 64, 2)
+    np.testing.assert_array_equal(got["lengths"], [5, 4, 64])
+    assert got["label_names"] == ["a", "b"]
+    np.testing.assert_array_equal(got["labels"], [0, 1, 0])
+    # y-flip applied
+    assert got["points"][0, 0, 1] == -20.0
+
+
+def test_native_error_paths(tmp_path):
+    if not native.available():
+        pytest.skip("no g++ toolchain")
+    with pytest.raises(ValueError, match="cannot open"):
+        native.parse_uji_file_native(str(tmp_path / "missing.txt"))
+    bad = tmp_path / "bad.txt"
+    bad.write_text("WORD x w\n POINTS 3 # 1 2 3 4\n")
+    with pytest.raises(ValueError, match="header says 3"):
+        native.parse_uji_file_native(str(bad))
+
+
+def test_prepared_pickle_roundtrip(uji_file, tmp_path):
+    data = uji.load_uji_files([uji_file], native="never")
+    p = str(tmp_path / "prep.pkl")
+    uji.save_prepared(p, data)
+    back = uji.load_prepared(p)
+    np.testing.assert_array_equal(back["points"], data["points"])
+    assert back["label_names"] == data["label_names"]

@@ -67,11 +67,52 @@ def parse_uji_text(text: str) -> List[Tuple[str, List[np.ndarray]]]:
     return samples
 
 
+def _load_python(paths, max_points):
+    """Pure-Python per-file parse → (points, lengths, names) per file."""
+    out = []
+    for p in paths:
+        with open(p, "r", encoding="utf-8", errors="replace") as f:
+            samples = parse_uji_text(f.read())
+        if not samples:
+            out.append((np.zeros((0, max_points, 2), np.float32),
+                        np.zeros((0,), np.int32), []))
+            continue
+        n = len(samples)
+        points = np.zeros((n, max_points, 2), np.float32)
+        lengths = np.empty((n,), np.int32)
+        names = []
+        for i, (c, strokes) in enumerate(samples):
+            poly = np.concatenate(strokes, axis=0)
+            if len(poly) > max_points:
+                idx = np.linspace(0, len(poly) - 1, max_points).round().astype(int)
+                poly = poly[idx]
+            # UJI y grows downward (tablet coords); flip so y is up like
+            # the synthetic generator; pipeline normalization rescales.
+            poly = poly * np.array([1.0, -1.0], np.float32)
+            points[i, : len(poly)] = poly
+            points[i, len(poly):] = poly[-1]
+            lengths[i] = len(poly)
+            names.append(c)
+        out.append((points, lengths, names))
+    return out
+
+
+def _load_native(paths, max_points):
+    from vae_assoc_tpu import native
+
+    out = []
+    for p in paths:
+        r = native.parse_uji_file_native(p, max_points)
+        out.append((r["points"], r["lengths"], r["names"]))
+    return out
+
+
 def load_uji_files(
     paths: Sequence[str],
     *,
     max_points: int = 256,
     charset: Optional[Iterable[str]] = None,
+    native: str = "auto",
 ):
     """Load UJI files into the padded raw-stroke structure.
 
@@ -80,41 +121,56 @@ def load_uji_files(
     flattening). Characters longer than `max_points` are uniformly
     subsampled to fit, preserving endpoints.
 
+    native: "auto" uses the C++ parser (vae_assoc_tpu.native, built on
+    demand) when a toolchain is available, with transparent Python
+    fallback; "never"/"always" force one side. Outputs are bit-identical.
+
     Returns dict(points [N, max_points, 2] f32, lengths [N] i32,
     labels [N] i32, label_names list[str]).
     """
-    samples: List[Tuple[str, List[np.ndarray]]] = []
-    for p in paths:
-        with open(p, "r", encoding="utf-8", errors="replace") as f:
-            samples.extend(parse_uji_text(f.read()))
+    if native == "always":
+        per_file = _load_native(paths, max_points)
+    elif native == "never":
+        per_file = _load_python(paths, max_points)
+    else:
+        try:
+            per_file = _load_native(paths, max_points)
+        except Exception:
+            per_file = _load_python(paths, max_points)
+
+    points = np.concatenate([f[0] for f in per_file], axis=0)
+    lengths = np.concatenate([f[1] for f in per_file], axis=0)
+    names = [n for f in per_file for n in f[2]]
     if charset is not None:
         allowed = set(charset)
-        samples = [s for s in samples if s[0] in allowed]
-    if not samples:
+        keep = [i for i, c in enumerate(names) if c in allowed]
+        points, lengths = points[keep], lengths[keep]
+        names = [names[i] for i in keep]
+    if len(names) == 0:
         raise ValueError("no samples parsed from UJI files")
 
-    label_names = sorted({c for c, _ in samples})
+    label_names = sorted(set(names))
     label_map = {c: i for i, c in enumerate(label_names)}
-
-    n = len(samples)
-    points = np.zeros((n, max_points, 2), np.float32)
-    lengths = np.empty((n,), np.int32)
-    labels = np.empty((n,), np.int32)
-    for i, (c, strokes) in enumerate(samples):
-        poly = np.concatenate(strokes, axis=0)
-        if len(poly) > max_points:
-            idx = np.linspace(0, len(poly) - 1, max_points).round().astype(int)
-            poly = poly[idx]
-        # UJI y grows downward (tablet coords); flip so y is up like the
-        # synthetic generator, pipeline normalization rescales anyway.
-        poly = poly * np.array([1.0, -1.0], np.float32)
-        points[i, : len(poly)] = poly
-        points[i, len(poly):] = poly[-1]
-        lengths[i] = len(poly)
-        labels[i] = label_map[c]
+    labels = np.array([label_map[c] for c in names], np.int32)
     return {
         "points": points,
         "lengths": lengths,
         "labels": labels,
         "label_names": label_names,
     }
+
+
+def save_prepared(path: str, data: dict) -> None:
+    """Pickle the prepared raw-stroke dict (the reference caches its
+    prepared dataset the same way, SURVEY.md §3.4)."""
+    import pickle
+
+    with open(path, "wb") as f:
+        pickle.dump(data, f, protocol=4)
+
+
+def load_prepared(path: str) -> dict:
+    import pickle
+
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -94,6 +94,35 @@ def normalize_and_flatten(
     return traj
 
 
+def validate_strokes(points: jax.Array, lengths: jax.Array):
+    """checkify-based input sanitizer for the resampler's gather indices.
+
+    Pure-functional JAX has no data races to detect (SURVEY.md §5 "Race
+    detection"); the failure mode that remains is out-of-contract input —
+    lengths outside [1, max_pts] would make `_masked_points`' clamped
+    gathers silently wrong, and NaN points poison the arc-length cumsum.
+    Run under `jax.experimental.checkify.checkify`:
+
+        err, _ = checkify.checkify(validate_strokes)(points, lengths)
+        err.throw()
+    """
+    from jax.experimental import checkify
+
+    max_pts = points.shape[-2]
+    checkify.check(jnp.all(lengths >= 1), "stroke lengths must be >= 1")
+    checkify.check(
+        jnp.all(lengths <= max_pts),
+        "stroke lengths exceed the padded point capacity {m}",
+        m=jnp.int32(max_pts),
+    )
+    valid = jnp.arange(max_pts)[None, :, None] < lengths[:, None, None]
+    checkify.check(
+        jnp.all(jnp.where(valid, jnp.isfinite(points), True)),
+        "non-finite coordinates inside valid stroke region",
+    )
+    return True
+
+
 def unflatten_trajectory(flat: jax.Array, n_dims: int = 2):
     """[B, T*D] → [B, T, D]: invert the pipeline's flattening for plotting/robot."""
     b = flat.shape[0]
