@@ -78,7 +78,7 @@ def test_driver_cli_end_to_end(tmp_path):
     ckpt_dir = tmp_path / "ckpt"
     plots = tmp_path / "plots"
     base = [
-        sys.executable, "-m", "vae_assoc_tpu.train.driver",
+        sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
         "--config", "3", "--data", "synthetic", "--n-samples", "256",
         "--batch-size", "32", "--epochs", "3",
         "--metrics", str(metrics), "--ckpt-dir", str(ckpt_dir),

@@ -35,6 +35,7 @@ from vae_assoc_tpu.configs import (
 from vae_assoc_tpu.api import (
     VariationalAutoencoder,
     AssocVariationalAutoEncoder,
+    train,
 )
 
 __all__ = [
@@ -46,4 +47,5 @@ __all__ = [
     "default_traj_arch",
     "VariationalAutoencoder",
     "AssocVariationalAutoEncoder",
+    "train",
 ]

@@ -141,6 +141,54 @@ class AssocVariationalAutoEncoder:
         self.state = ckpt.restore(path, self.state, step=step)
 
 
+def train(
+    model_or_archs,
+    data: Sequence[np.ndarray],
+    *,
+    training_epochs: int = 10,
+    display_step: int = 5,
+    fused: bool = False,
+    on_epoch=None,
+    **model_kwargs,
+):
+    """Module-level training helper mirroring the reference's `train(...)`
+    (SURVEY.md §2.1 "Associative joint VAE": module-level train helper).
+
+    Args:
+      model_or_archs: an existing `AssocVariationalAutoEncoder`, or a list
+        of architecture dicts to construct one (``**model_kwargs`` forwarded
+        to the constructor: recon_types, names, assoc_lambda, ...).
+      data: list of K paired host arrays [N, n_input_k].
+      fused: run all epochs as one device program (`train_loop_fused`).
+      on_epoch: callback(epoch, metrics) every `display_step` epochs.
+
+    Returns (model, history).
+    """
+    from vae_assoc_tpu.train.loop import train_loop, train_loop_fused
+
+    if isinstance(model_or_archs, AssocVariationalAutoEncoder):
+        model = model_or_archs
+    else:
+        model = AssocVariationalAutoEncoder(model_or_archs, **model_kwargs)
+    if fused:
+        state, history = train_loop_fused(
+            model.config, model.train_config, data,
+            epochs=training_epochs, state=model.state,
+        )
+        if on_epoch is not None:
+            for e, h in enumerate(history):
+                if e % display_step == 0:
+                    on_epoch(e, h)
+    else:
+        state, history = train_loop(
+            model.config, model.train_config, data,
+            epochs=training_epochs, state=model.state,
+            display_step=display_step, on_metrics=on_epoch,
+        )
+    model.state = state
+    return model, history
+
+
 class VariationalAutoencoder(AssocVariationalAutoEncoder):
     """Single-modality VAE — the reference's `vae.py` class surface.
 

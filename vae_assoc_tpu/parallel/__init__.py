@@ -1,5 +1,6 @@
 from vae_assoc_tpu.parallel.mesh import (
     make_mesh,
+    make_multihost_mesh,
     batch_spec,
     shard_batch,
     replicate,
@@ -14,6 +15,7 @@ from vae_assoc_tpu.parallel.dp import (
 
 __all__ = [
     "make_mesh",
+    "make_multihost_mesh",
     "batch_spec",
     "shard_batch",
     "replicate",

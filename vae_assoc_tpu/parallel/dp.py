@@ -35,7 +35,9 @@ from vae_assoc_tpu.train.step import (
 
 
 @functools.lru_cache(maxsize=64)
-def make_dp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, *, jit=True):
+def make_dp_train_step(
+    cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, *, batch_axes=None, jit=True
+):
     """Build the data-parallel train step over `mesh`.
 
     Returns ``step_fn(state, xs) -> (state', metrics)`` mirroring
@@ -43,9 +45,14 @@ def make_dp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, *, jit=Tru
     batch ``[B, n_input_k]`` (or ``[N, B, n_input_k]`` stacks when
     ``tc.steps_per_call == N``) sharded — or shardable — on its batch dim.
     State must be replicated (see `parallel.mesh.replicate`); it is donated.
+
+    batch_axes: mesh axis name(s) the batch shards over — the first mesh
+    axis by default; a tuple (e.g. ``("replica", "data")`` from
+    `make_multihost_mesh`) runs the gradient sync over every level
+    (DCN + ICI) in one logical pmean.
     """
     opt = make_optimizer(tc)
-    axis = mesh.axis_names[0]
+    axis = batch_axes if batch_axes is not None else mesh.axis_names[0]
     n = tc.steps_per_call
 
     def local_step(state: TrainState, xs):
@@ -57,7 +64,7 @@ def make_dp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, *, jit=Tru
 
         return jax.lax.scan(body, state, tuple(xs))
 
-    xs_spec = mesh_mod.batch_spec(mesh, leading_scan_axis=n > 1)
+    xs_spec = mesh_mod.batch_spec(mesh, leading_scan_axis=n > 1, batch_axes=batch_axes)
     step_fn = jax.shard_map(
         local_step,
         mesh=mesh,

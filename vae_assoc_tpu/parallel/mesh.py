@@ -61,19 +61,41 @@ def make_mesh(
     return Mesh(grid, (data_axis, model_axis))
 
 
-def batch_spec(mesh: Mesh, *, leading_scan_axis: bool = False) -> P:
-    """PartitionSpec sharding the batch dim of [B, D] (or [N, B, D]) arrays."""
-    axis = mesh.axis_names[0]
-    return P(None, axis) if leading_scan_axis else P(axis)
+def make_multihost_mesh(
+    *, dcn_axis: str = "replica", data_axis: str = DATA_AXIS
+) -> Mesh:
+    """2-level DCN×ICI mesh for multi-host pods (SURVEY.md §5 "Distributed
+    communication backend": multi-host is a config change, not a redesign).
+
+    Call `jax.distributed.initialize()` first on real multi-host pods; the
+    outer axis then spans hosts (gradient sync over DCN) and the inner axis
+    spans each host's chips (sync over ICI). On a single process this
+    degenerates to a (1, n_local) mesh, so the same code path is testable
+    anywhere. Pass ``batch_axes=(dcn_axis, data_axis)`` to
+    `make_dp_train_step` so the batch shards over both levels.
+    """
+    devices = np.asarray(jax.devices())
+    n_proc = jax.process_count()
+    return Mesh(devices.reshape(n_proc, -1), (dcn_axis, data_axis))
 
 
-def shard_batch(mesh: Mesh, arrays, *, leading_scan_axis: bool = False):
+def batch_spec(mesh: Mesh, *, leading_scan_axis: bool = False, batch_axes=None) -> P:
+    """PartitionSpec sharding the batch dim of [B, D] (or [N, B, D]) arrays.
+
+    batch_axes: mesh axis name(s) the batch dim shards over — defaults to
+    the first mesh axis; pass a tuple to span a multi-level mesh.
+    """
+    axes = batch_axes if batch_axes is not None else mesh.axis_names[0]
+    return P(None, axes) if leading_scan_axis else P(axes)
+
+
+def shard_batch(mesh: Mesh, arrays, *, leading_scan_axis: bool = False, batch_axes=None):
     """Place per-modality batch arrays onto the mesh, batch-dim sharded.
 
     Produces committed global arrays so the jitted DP step consumes them
     without any implicit resharding transfer.
     """
-    spec = batch_spec(mesh, leading_scan_axis=leading_scan_axis)
+    spec = batch_spec(mesh, leading_scan_axis=leading_scan_axis, batch_axes=batch_axes)
     sharding = NamedSharding(mesh, spec)
     return tuple(jax.device_put(a, sharding) for a in arrays)
 

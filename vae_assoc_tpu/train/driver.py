@@ -58,6 +58,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile-epochs", type=int, default=0,
                    help="wrap the first N epochs in a jax.profiler trace")
     p.add_argument("--profile-dir", default="/tmp/vae_assoc_tpu_profile")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (overrides any TPU plugin)")
     return p
 
 
@@ -78,6 +80,12 @@ def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
 
     import jax
+
+    if args.cpu:
+        # Env vars are too late once a TPU PJRT plugin pre-registered at
+        # interpreter start; the config update still wins (lazy backends).
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from vae_assoc_tpu.configs import baseline_config
