@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _batch_tile, _interpret, _mm
+from vae_assoc_tpu.kernels.mlp import _batch_tile, _interpret, _mm, _mm_tn
 from vae_assoc_tpu.models.conv import (
     C1,
     C2,
@@ -125,7 +125,7 @@ def _dw_kernel(stride, dilate, pads, oh, ow, cin, cd, x_ref, dy_ref, dw_ref):
         dy2 = dy_ref[:].reshape(n, -1)
         for t, p in _taps(xv, stride, oh, ow):
             tap_buf[:] = p.reshape(n, cin)
-            acc = _mm(tap_buf[:].T, dy2, cd)
+            acc = _mm_tn(tap_buf[:], dy2, cd)
             lo = t * cin
 
             @pl.when(first)

@@ -59,6 +59,32 @@ def _mm(a, w, cd):
     return jnp.dot(a.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
 
 
+def _dot_dn(a, b, dn, cd):
+    if jnp.dtype(cd) != jnp.float32:
+        a, b = a.astype(cd), b.astype(cd)
+        prec = None
+    else:
+        prec = jax.lax.Precision.HIGHEST
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=dn, precision=prec,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_tn(a, b, cd):
+    """aᵀ·b without materializing the transpose: contract the row dim.
+
+    [R, M]ᵀ @ [R, N] → [M, N] via dot_general dimension numbers — the MXU
+    consumes transposed operands natively, so backward weight-grad matmuls
+    skip an explicit VMEM transpose."""
+    return _dot_dn(a, b, (((0,), (0,)), ((), ())), cd)
+
+
+def _mm_nt(a, b, cd):
+    """a·bᵀ without materializing the transpose: [M, K] @ [N, K]ᵀ → [M, N]."""
+    return _dot_dn(a, b, (((1,), (1,)), ((), ())), cd)
+
+
 def _softplus(a):
     # log1p(exp(a)) with the standard overflow-safe form; matches
     # jax.nn.softplus (max(a,0) + log1p(exp(-|a|))).
@@ -89,22 +115,23 @@ def _enc_bwd_kernel(
 
     dmu = dmu_ref[:]
     dlv = dlv_ref[:]
-    # Head grads + fan-in to h2. (Transposed matmuls also ride the MXU.)
-    dh2 = _mm(dmu, wm[:].T, cd) + _mm(dlv, wl[:].T, cd)
+    # Head grads + fan-in to h2; transposed operands go to the MXU via
+    # dot_general dimension numbers (no VMEM transpose materialized).
+    dh2 = _mm_nt(dmu, wm[:], cd) + _mm_nt(dlv, wl[:], cd)
     da2 = dh2 * jax.nn.sigmoid(a2)  # softplus' = sigmoid
-    dh1 = _mm(da2, w2[:].T, cd)
+    dh1 = _mm_nt(da2, w2[:], cd)
     da1 = dh1 * jax.nn.sigmoid(a1)
-    dx_ref[:] = _mm(da1, w1[:].T, cd)
+    dx_ref[:] = _mm_nt(da1, w1[:], cd)
 
     first = pl.program_id(0) == 0
     for ref, val in (
-        (dwm, _mm(h2.T, dmu, cd)),
+        (dwm, _mm_tn(h2, dmu, cd)),
         (dbm, jnp.sum(dmu, axis=0, keepdims=True)),
-        (dwl, _mm(h2.T, dlv, cd)),
+        (dwl, _mm_tn(h2, dlv, cd)),
         (dbl, jnp.sum(dlv, axis=0, keepdims=True)),
-        (dw2, _mm(h1.T, da2, cd)),
+        (dw2, _mm_tn(h1, da2, cd)),
         (db2, jnp.sum(da2, axis=0, keepdims=True)),
-        (dw1, _mm(x_ref[:].T, da1, cd)),
+        (dw1, _mm_tn(x_ref[:], da1, cd)),
         (db1, jnp.sum(da1, axis=0, keepdims=True)),
     ):
         @pl.when(first)
@@ -213,19 +240,19 @@ def _dec_bwd_kernel(
     h2 = _softplus(a2)
 
     dout = dout_ref[:]
-    dh2 = _mm(dout, wo[:].T, cd)
+    dh2 = _mm_nt(dout, wo[:], cd)
     da2 = dh2 * jax.nn.sigmoid(a2)
-    dh1 = _mm(da2, w2[:].T, cd)
+    dh1 = _mm_nt(da2, w2[:], cd)
     da1 = dh1 * jax.nn.sigmoid(a1)
-    dz_ref[:] = _mm(da1, w1[:].T, cd)
+    dz_ref[:] = _mm_nt(da1, w1[:], cd)
 
     first = pl.program_id(0) == 0
     for ref, val in (
-        (dwo, _mm(h2.T, dout, cd)),
+        (dwo, _mm_tn(h2, dout, cd)),
         (dbo, jnp.sum(dout, axis=0, keepdims=True)),
-        (dw2, _mm(h1.T, da2, cd)),
+        (dw2, _mm_tn(h1, da2, cd)),
         (db2, jnp.sum(da2, axis=0, keepdims=True)),
-        (dw1, _mm(z_ref[:].T, da1, cd)),
+        (dw1, _mm_tn(z_ref[:], da1, cd)),
         (db1, jnp.sum(da1, axis=0, keepdims=True)),
     ):
         @pl.when(first)

@@ -48,24 +48,26 @@ def _normal_bits(shape):
 
 
 def _reparam_kernel(mu_ref, lv_ref, seed_ref, z_ref, eps_ref):
-    pltpu.prng_seed(seed_ref[0])
+    # Per-tile seed decorrelation: identical seeding across grid steps
+    # would replicate ε tile-to-tile (Knuth multiplicative hash of the
+    # tile index keeps streams disjoint).
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
     eps = _normal_bits(mu_ref.shape)
     eps_ref[:] = eps
     z_ref[:] = mu_ref[:] + jnp.exp(0.5 * lv_ref[:]) * eps
 
 
 def _sample_impl(z_mean, z_logvar, seed):
+    from vae_assoc_tpu.kernels.mlp import _batch_tile
+
+    b, nz = z_mean.shape
+    tile = _batch_tile(b, limit=1024)
+    row = pl.BlockSpec((tile, nz), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _reparam_kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        grid=(b // tile,),
+        in_specs=[row, row, pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(row, row),
         out_shape=(
             jax.ShapeDtypeStruct(z_mean.shape, jnp.float32),
             jax.ShapeDtypeStruct(z_mean.shape, jnp.float32),
