@@ -43,6 +43,7 @@ class AssocVariationalAutoEncoder:
         *,
         recon_types: Optional[Sequence[str]] = None,
         names: Optional[Sequence[str]] = None,
+        transfer_fct: str = "softplus",
         assoc_lambda: float = 1.0,
         learning_rate: float = 1e-3,
         batch_size: int = 64,
@@ -60,7 +61,7 @@ class AssocVariationalAutoEncoder:
                 names = [f"modality_{i}" for i in range(k)]
             self.config = AssocConfig(
                 [
-                    ModalityConfig(nm, arch, recon=rt)
+                    ModalityConfig(nm, arch, recon=rt, transfer=transfer_fct)
                     for nm, arch, rt in zip(names, network_architectures, recon_types)
                 ],
                 assoc_lambda=assoc_lambda,
@@ -202,6 +203,7 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
         network_architecture: Mapping[str, int],
         *,
         recon_type: str = "bernoulli",
+        transfer_fct: str = "softplus",
         learning_rate: float = 1e-3,
         batch_size: int = 64,
         seed: int = 0,
@@ -211,6 +213,7 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
             [network_architecture],
             recon_types=[recon_type],
             names=["x"],
+            transfer_fct=transfer_fct,
             assoc_lambda=0.0,
             learning_rate=learning_rate,
             batch_size=batch_size,

@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Iterator, Mapping, Sequence
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,6 +76,20 @@ def validate_arch(arch: Mapping[str, int]) -> FrozenDict:
     return FrozenDict(out)
 
 
+# The reference constructor's `transfer_fct` knob (SURVEY.md §1.1 L2a),
+# as names so configs stay hashable/serializable. The fused Pallas MLP
+# kernels implement softplus (the reference default); other transfers run
+# through the identical-math jnp path.
+TRANSFER_FNS = {
+    "softplus": jax.nn.softplus,
+    "relu": jax.nn.relu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "elu": jax.nn.elu,
+    "gelu": jax.nn.gelu,
+}
+
+
 def default_image_arch(n_z: int = 20, hidden: int = 500) -> dict:
     """28x28 grayscale character image branch (BASELINE.json:7)."""
     return dict(
@@ -128,6 +143,7 @@ class ModalityConfig:
     arch: Mapping[str, int]
     recon: str = "bernoulli"
     encoder: str = "mlp"
+    transfer: str = "softplus"
 
     def __post_init__(self):
         object.__setattr__(self, "arch", validate_arch(self.arch))
@@ -137,6 +153,11 @@ class ModalityConfig:
             raise ValueError(f"unknown encoder type: {self.encoder!r}")
         if self.encoder.startswith("conv") and self.arch["n_input"] != 784:
             raise ValueError("conv encoder requires 28x28 (n_input=784) input")
+        if self.transfer not in TRANSFER_FNS:
+            raise ValueError(
+                f"unknown transfer_fct {self.transfer!r}; "
+                f"options: {sorted(TRANSFER_FNS)}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)
