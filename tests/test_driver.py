@@ -136,3 +136,27 @@ def _run(step, state, xs, n):
         state, m = step(state, xs)
         outs.append((state, m))
     return outs
+
+
+def test_async_checkpoint_save(rng):
+    """block=False returns immediately; wait() makes it durable + restorable."""
+    import tempfile
+
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16)
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    xs = [
+        rng.uniform(0, 1, (16, 24)).astype(np.float32),
+        rng.normal(size=(16, 24)).astype(np.float32),
+    ]
+    state, _ = step(state, xs)
+    with tempfile.TemporaryDirectory() as td:
+        ckpt.save(td, state, block=False)
+        state, _ = step(state, xs)  # overlap with the in-flight save
+        ckpt.wait(td)
+        restored = ckpt.restore(td, init_train_state(cfg, tc))
+        assert int(restored.step) == 1

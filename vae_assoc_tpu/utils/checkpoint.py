@@ -28,17 +28,46 @@ def _manager(path: str, keep: int = DEFAULT_KEEP) -> ocp.CheckpointManager:
     )
 
 
-def save(path: str, state: TrainState, *, step: Optional[int] = None, keep: int = DEFAULT_KEEP) -> str:
-    """Save TrainState; returns the checkpoint directory. Blocks until durable."""
+def save(
+    path: str,
+    state: TrainState,
+    *,
+    step: Optional[int] = None,
+    keep: int = DEFAULT_KEEP,
+    block: bool = True,
+) -> str:
+    """Save TrainState; returns the checkpoint directory.
+
+    block=False starts an async orbax save and returns immediately —
+    training continues while the checkpoint persists in the background
+    (SURVEY.md §5 "Checkpoint/resume: save is async"). Call
+    `wait(path)` before relying on it. Safe to combine with the donated
+    train step: orbax copies device→host synchronously inside save();
+    only the disk write is deferred, so donation can't clobber it.
+    """
     mgr = _manager(path, keep)
     if step is None:
         step = int(jax.device_get(state.step))
     # PRNG keys are typed arrays; store raw key data for portability.
     payload = state._replace(rng=jax.random.key_data(state.rng))
     mgr.save(step, args=ocp.args.StandardSave(payload._asdict()))
-    mgr.wait_until_finished()
-    mgr.close()
+    if block:
+        mgr.wait_until_finished()
+        mgr.close()
+    else:
+        _ASYNC_MANAGERS[os.path.abspath(os.path.expanduser(path))] = mgr
     return path
+
+
+_ASYNC_MANAGERS: dict = {}
+
+
+def wait(path: str) -> None:
+    """Block until any in-flight async save to `path` is durable."""
+    mgr = _ASYNC_MANAGERS.pop(os.path.abspath(os.path.expanduser(path)), None)
+    if mgr is not None:
+        mgr.wait_until_finished()
+        mgr.close()
 
 
 def restore(path: str, template: TrainState, *, step: Optional[int] = None) -> TrainState:
