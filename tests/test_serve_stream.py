@@ -1,0 +1,100 @@
+"""Serving predictor (bucketed inference) + streaming prefetch loader."""
+
+import numpy as np
+import pytest
+
+import vae_assoc_tpu as vat
+from vae_assoc_tpu.configs import TrainConfig
+from vae_assoc_tpu.data.stream import prefetch_batches, stream_train
+from vae_assoc_tpu.serve import Predictor, _bucket
+
+TINY = dict(
+    n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+    n_hidden_gener_1=16, n_hidden_gener_2=16,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"],
+    )
+
+
+def test_bucket_rounding():
+    assert [_bucket(n) for n in (1, 2, 3, 64, 65, 1000)] == [1, 2, 4, 64, 128, 1024]
+
+
+def test_predictor_odd_batch_sizes(model, rng):
+    pred = Predictor.from_model(model)
+    for n in (1, 7, 64, 100):
+        x = rng.uniform(0, 1, (n, 24)).astype(np.float32)
+        out = pred.cross_generate(x, "image", "trajectory")
+        assert out.shape == (n, 24)
+        z = pred.transform([x, rng.normal(size=(n, 24)).astype(np.float32)])
+        assert z[0].shape == (n, 4)
+        r = pred.reconstruct(x, "image")
+        assert r.shape == (n, 24) and 0.0 <= r.min() and r.max() <= 1.0
+
+
+def test_predictor_padding_does_not_change_results(model, rng):
+    """Row i of a padded (bucketed) batch == row i of an exact batch."""
+    pred = Predictor.from_model(model)
+    x = rng.uniform(0, 1, (64, 24)).astype(np.float32)
+    full = pred.cross_generate(x, "image", "trajectory")
+    part = pred.cross_generate(x[:5], "image", "trajectory")  # pads to 8
+    np.testing.assert_allclose(part, full[:5], rtol=1e-6, atol=1e-6)
+
+
+def test_predictor_from_checkpoint(model, tmp_path, rng):
+    model.save_model(str(tmp_path))
+    pred = Predictor.from_checkpoint(str(tmp_path), model.config)
+    x = rng.uniform(0, 1, (4, 24)).astype(np.float32)
+    np.testing.assert_allclose(
+        pred.cross_generate(x, 0, 1),
+        np.asarray(model.cross_generate(x, 0, 1)),
+        rtol=1e-6,
+    )
+
+
+def test_predictor_warmup_and_limits(model):
+    pred = Predictor.from_model(model)
+    pred.warmup(buckets=(4,))
+    with pytest.raises(ValueError, match="MAX_BUCKET"):
+        pred.cross_generate(np.zeros((5000, 24), np.float32), 0, 1)
+
+
+def test_prefetch_batches_covers_epoch(rng):
+    data = [
+        rng.uniform(0, 1, (70, 24)).astype(np.float32),
+        rng.normal(size=(70, 24)).astype(np.float32),
+    ]
+    batches = list(prefetch_batches(data, 16, epochs=2, shuffle=False))
+    assert len(batches) == 2 * (70 // 16)
+    assert batches[0][0].shape == (16, 24)
+    np.testing.assert_allclose(np.asarray(batches[0][0]), data[0][:16])
+
+
+def test_stream_train_learns(rng):
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+
+    cfg = AssocConfig(
+        [
+            ModalityConfig("image", TINY, recon="bernoulli"),
+            ModalityConfig("trajectory", TINY, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+    tc = TrainConfig(batch_size=16, learning_rate=3e-3)
+    data = [
+        rng.uniform(0, 1, (128, 24)).astype(np.float32),
+        rng.normal(size=(128, 24)).astype(np.float32),
+    ]
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    state, history = stream_train(step, state, data, 16, epochs=8)
+    assert float(np.mean([h["total"] for h in history[-4:]])) < float(
+        np.mean([h["total"] for h in history[:4]])
+    )

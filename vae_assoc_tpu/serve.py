@@ -1,0 +1,122 @@
+"""Serving: low-latency batched inference with static-shape bucketing.
+
+Production serving on TPU wants every request to hit an already-compiled
+program — XLA recompiles on any new shape. The `Predictor` pads incoming
+batches up to the nearest power-of-two bucket (one compile per bucket per
+endpoint, warmed ahead of time with `warmup()`), runs the jitted
+transform / reconstruct / cross-generate endpoints, and slices the
+padding off the result. Weights live in HBM once; requests only move
+activations.
+
+    pred = Predictor.from_checkpoint(path, cfg)
+    traj = pred.cross_generate(imgs, "image", "trajectory")   # any batch size
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_assoc_tpu.configs import AssocConfig, TrainConfig
+from vae_assoc_tpu.models import assoc as assoc_mod
+
+MAX_BUCKET = 4096
+
+
+def _bucket(n: int) -> int:
+    b = 1
+    while b < n and b < MAX_BUCKET:
+        b *= 2
+    return b
+
+
+class Predictor:
+    """Inference endpoints over frozen params with shape-bucketed batching."""
+
+    def __init__(
+        self,
+        params: dict,
+        cfg: AssocConfig,
+        *,
+        compute_dtype=jnp.float32,
+        use_pallas: bool = False,
+    ):
+        self.params = params
+        self.cfg = cfg
+        kw = dict(cfg=cfg, compute_dtype=compute_dtype, use_pallas=use_pallas)
+        self._transform = jax.jit(functools.partial(assoc_mod.transform, **kw))
+        self._generate = jax.jit(
+            functools.partial(assoc_mod.generate, **kw),
+            static_argnames=("modality",),
+        )
+        self._cross = jax.jit(
+            functools.partial(assoc_mod.cross_generate, **kw),
+            static_argnames=("src", "dst"),
+        )
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        cfg: AssocConfig,
+        *,
+        train_config: Optional[TrainConfig] = None,
+        step: Optional[int] = None,
+        **kw,
+    ) -> "Predictor":
+        """Load params from an orbax checkpoint directory."""
+        from vae_assoc_tpu.train.step import init_train_state
+        from vae_assoc_tpu.utils import checkpoint as ckpt
+
+        tc = train_config or TrainConfig()
+        state = ckpt.restore(path, init_train_state(cfg, tc), step=step)
+        return cls(state.params, cfg, **kw)
+
+    @classmethod
+    def from_model(cls, model, **kw) -> "Predictor":
+        """Wrap a live `AssocVariationalAutoEncoder`'s current params."""
+        return cls(model.state.params, model.config, **kw)
+
+    # -- bucketing -----------------------------------------------------------
+    def _pad(self, x: np.ndarray):
+        n = x.shape[0]
+        if n > MAX_BUCKET:
+            raise ValueError(f"batch {n} exceeds MAX_BUCKET={MAX_BUCKET}")
+        b = _bucket(n)
+        if b == n:
+            return jnp.asarray(x), n
+        pad = np.zeros((b - n,) + x.shape[1:], x.dtype)
+        return jnp.asarray(np.concatenate([np.asarray(x), pad], 0)), n
+
+    # -- endpoints -----------------------------------------------------------
+    def transform(self, xs: Sequence[np.ndarray]):
+        """Per-modality latent means; accepts any batch size ≤ MAX_BUCKET."""
+        padded = [self._pad(np.asarray(x)) for x in xs]
+        zs = self._transform(self.params, [p for p, _ in padded])
+        return tuple(np.asarray(z)[:n] for z, (_, n) in zip(zs, padded))
+
+    def generate(self, z, modality: Union[int, str]):
+        zp, n = self._pad(np.asarray(z))
+        return np.asarray(self._generate(self.params, zp, modality=modality))[:n]
+
+    def reconstruct(self, x, modality: Union[int, str]):
+        i = self.cfg.modality_index(modality)
+        return self.cross_generate(x, i, i)
+
+    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
+        xp, n = self._pad(np.asarray(x))
+        return np.asarray(self._cross(self.params, xp, src=src, dst=dst))[:n]
+
+    def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:
+        """Pre-compile the cross-modal endpoints for the given buckets."""
+        k = len(self.cfg.modalities)
+        for b in buckets:
+            for i in range(k):
+                x = np.zeros((b, self.cfg.modalities[i].arch["n_input"]), np.float32)
+                for j in range(k):
+                    self.cross_generate(x, i, j)
