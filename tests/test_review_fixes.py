@@ -1,0 +1,109 @@
+"""Regression tests for code-review findings (round 1 review pass)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import vae_assoc_tpu as vat
+from vae_assoc_tpu.configs import TrainConfig
+
+TINY = dict(
+    n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+    n_hidden_gener_1=16, n_hidden_gener_2=16,
+)
+
+
+def test_driver_config2_runs(tmp_path):
+    """Config 2 (trajectory-only) must feed trajectory features, not images."""
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "2", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "1"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "1 modality" in out.stdout
+
+
+def test_predictor_survives_donated_train_step(rng):
+    from vae_assoc_tpu.serve import Predictor
+
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"]
+    )
+    pred = Predictor.from_model(model)
+    x = rng.uniform(0, 1, (16, 24)).astype(np.float32)
+    before = pred.cross_generate(x, 0, 1)
+    # partial_fit donates the old state buffers; the predictor's snapshot
+    # must remain valid and unchanged.
+    model.partial_fit([x, rng.normal(size=(16, 24)).astype(np.float32)])
+    after = pred.cross_generate(x, 0, 1)
+    np.testing.assert_array_equal(before, after)
+
+
+def test_partial_fit_with_steps_per_call_config(rng):
+    """A fused-scan TrainConfig must not break the one-minibatch verb."""
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        train_config=TrainConfig(batch_size=16, steps_per_call=10),
+    )
+    xs = [
+        rng.uniform(0, 1, (16, 24)).astype(np.float32),
+        rng.normal(size=(16, 24)).astype(np.float32),
+    ]
+    c1 = model.partial_fit(xs)
+    c2 = model.partial_fit(xs)
+    assert np.isfinite(c1) and c2 < c1
+
+
+def test_generate_draws_fresh_prior_samples():
+    model = vat.VariationalAutoencoder(TINY)
+    a = np.asarray(model.generate())
+    b = np.asarray(model.generate())
+    assert np.abs(a - b).max() > 1e-6, "prior samples must differ per call"
+
+
+def test_double_async_save_joins_previous(rng, tmp_path):
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
+
+    cfg = AssocConfig([ModalityConfig("x", TINY)], assoc_lambda=0.0)
+    tc = TrainConfig(batch_size=8)
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    xs = [rng.uniform(0, 1, (8, 24)).astype(np.float32)]
+    td = str(tmp_path)
+    state, _ = step(state, xs)
+    ckpt.save(td, state, block=False)
+    state, _ = step(state, xs)
+    ckpt.save(td, state, block=False)  # must join the first save, not drop it
+    ckpt.wait(td)
+    restored = ckpt.restore(td, init_train_state(cfg, tc))
+    assert int(restored.step) == 2
+
+
+def test_uji_zero_point_sample_dropped(tmp_path):
+    from vae_assoc_tpu.data import uji
+
+    p = tmp_path / "z.txt"
+    p.write_text(
+        "WORD a w01\n NUMSTROKES 1\n  POINTS 0 # \n"
+        "WORD b w01\n NUMSTROKES 1\n  POINTS 2 # 1 2 3 4\n"
+    )
+    got = uji.load_uji_files([str(p)], native="never")
+    assert got["label_names"] == ["b"]
+    assert got["points"].shape[0] == 1
+
+
+def test_viz_trajectories_fewer_than_requested(rng):
+    pytest.importorskip("matplotlib")
+    from vae_assoc_tpu.utils import viz
+
+    imgs = rng.uniform(0, 1, (4, 784)).astype(np.float32)
+    trajs = rng.uniform(-1, 1, (4, 200)).astype(np.float32)
+    assert viz.trajectories_over_images(imgs, trajs, n=8) is not None

@@ -70,7 +70,16 @@ class AssocVariationalAutoEncoder:
             learning_rate=learning_rate, batch_size=batch_size, seed=seed
         )
         self.state: TrainState = init_train_state(self.config, self.train_config)
-        self._step_fn = make_train_step(self.config, self.train_config)
+        # partial_fit is a one-minibatch verb; a steps_per_call>1 config
+        # (e.g. milestone 5's fused-scan TrainConfig) would make the cached
+        # step expect [N,B,D] stacks — always build the single-step variant
+        # here. `train(...)`/train_loop still honor steps_per_call.
+        import dataclasses as _dc
+
+        self._step_fn = make_train_step(
+            self.config, _dc.replace(self.train_config, steps_per_call=1)
+        )
+        self._gen_key = jax.random.key(self.train_config.seed + 1)
         cd = self.train_config.compute_dtype
         up = self.train_config.use_pallas
         self._transform = jax.jit(
@@ -112,10 +121,12 @@ class AssocVariationalAutoEncoder:
         return self._transform(self.state.params, [jnp.asarray(x) for x in xs])
 
     def generate(self, z=None, modality: Union[int, str] = 0):
-        """Decode z (or a standard-normal draw) with one modality's decoder."""
+        """Decode z (or a FRESH standard-normal draw) with one modality's
+        decoder — the prior-sample key advances per call, as the reference's
+        stateful `random_normal` did."""
         if z is None:
-            key = jax.random.key(self.train_config.seed + 1)
-            z = jax.random.normal(key, (1, self.config.n_z), jnp.float32)
+            self._gen_key, sub = jax.random.split(self._gen_key)
+            z = jax.random.normal(sub, (1, self.config.n_z), jnp.float32)
         return self._generate(self.state.params, jnp.asarray(z), modality=modality)
 
     def reconstruct(self, xs: Sequence[np.ndarray]):

@@ -73,6 +73,9 @@ def _load_python(paths, max_points):
     for p in paths:
         with open(p, "r", encoding="utf-8", errors="replace") as f:
             samples = parse_uji_text(f.read())
+        # Drop characters with zero total points (e.g. a lone "POINTS 0 #"
+        # line) — the C++ parser skips them too, keeping outputs identical.
+        samples = [s for s in samples if sum(len(st) for st in s[1]) > 0]
         if not samples:
             out.append((np.zeros((0, max_points, 2), np.float32),
                         np.zeros((0,), np.int32), []))

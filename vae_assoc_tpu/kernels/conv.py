@@ -35,11 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_assoc_tpu.kernels.mlp import _batch_tile, _interpret, _mm, _mm_tn
 from vae_assoc_tpu.models.conv import (
-    C1,
     C2,
     IMG_SIZE,
     _FLAT,
     _SMALL,
+    _dense,
     _precision,
 )
 
@@ -269,12 +269,6 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     y = _conv_im2col(x, w2d, 1, True, (2, 1), out_hw,
                      jnp.dtype(compute_dtype).name)
     return y + b
-
-
-def _dense(p, x, prec):
-    y = jnp.dot(x.astype(jnp.float32), p["w"], precision=prec,
-                preferred_element_type=jnp.float32)
-    return y + p["b"]
 
 
 def encode_conv_fused(params, x, *, compute_dtype=jnp.float32,

@@ -79,8 +79,14 @@ class Predictor:
 
     @classmethod
     def from_model(cls, model, **kw) -> "Predictor":
-        """Wrap a live `AssocVariationalAutoEncoder`'s current params."""
-        return cls(model.state.params, model.config, **kw)
+        """Snapshot a live `AssocVariationalAutoEncoder`'s current params.
+
+        Params are copied: the model's train step donates its state
+        buffers, so aliasing them would leave the Predictor holding
+        deleted arrays after the next `partial_fit`.
+        """
+        params = jax.tree.map(jnp.copy, model.state.params)
+        return cls(params, model.config, **kw)
 
     # -- bucketing -----------------------------------------------------------
     def _pad(self, x: np.ndarray):

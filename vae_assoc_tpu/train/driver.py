@@ -60,6 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="/tmp/vae_assoc_tpu_profile")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (overrides any TPU plugin)")
+    p.add_argument("--mesh", type=int, default=None, metavar="N",
+                   help="data-parallel shard_map over an N-device mesh "
+                        "(default: all devices for --config 5 on multi-"
+                        "device hosts, otherwise single-device)")
     return p
 
 
@@ -111,8 +115,11 @@ def main(argv=None) -> int:
     cfg, tc = baseline_config(args.config, **overrides)
     k = len(cfg.modalities)
 
-    ds, data = load_data(args)
-    data = data[:k]
+    ds, loaded = load_data(args)
+    # Select each configured modality's feature set by name (config 2 is
+    # trajectory-only: taking the first array would feed images).
+    by_name = {"image": loaded[0], "trajectory": loaded[1]}
+    data = [by_name[m.name] for m in cfg.modalities]
     print(
         f"config {args.config}: {k} modalit{'y' if k == 1 else 'ies'}, "
         f"{len(ds)} samples, batch {tc.batch_size}, "
@@ -120,16 +127,34 @@ def main(argv=None) -> int:
         flush=True,
     )
 
+    # Data parallelism: explicit --mesh N, or all devices for the DP
+    # milestone (config 5) when more than one device is attached.
+    n_mesh = args.mesh
+    if n_mesh is None and args.config == 5 and len(jax.devices()) > 1:
+        n_mesh = len(jax.devices())
+    mesh = None
+    if n_mesh is not None and n_mesh > 1:
+        if args.fused:
+            raise SystemExit("--fused and --mesh are mutually exclusive")
+        from vae_assoc_tpu.parallel import make_mesh, replicate, dp_train_loop
+
+        mesh = make_mesh(n_mesh)
+        print(f"data-parallel over {n_mesh} devices", flush=True)
+
     state = init_train_state(cfg, tc)
     if args.resume:
         if not args.ckpt_dir:
             raise SystemExit("--resume requires --ckpt-dir")
         state = ckpt.restore(args.ckpt_dir, state)
         print(f"resumed from step {int(state.step)}", flush=True)
+    if mesh is not None:
+        state = replicate(mesh, state)
 
     log = MetricsLogger(args.metrics, echo=True)
 
     def run(state, epochs):
+        if mesh is not None:
+            return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
         return train_loop(cfg, tc, data, epochs=epochs, state=state)

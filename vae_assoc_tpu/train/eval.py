@@ -50,9 +50,20 @@ def cross_modal_mse(
     return results
 
 
-def evaluate(params, xs, cfg, **kw) -> dict:
-    """Host-friendly wrapper: jitted cross-modal MSE dict of floats."""
-    fn = jax.jit(
-        lambda p, xs: cross_modal_mse(p, xs, cfg, **kw),
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _eval_fn(cfg: AssocConfig, compute_dtype, use_pallas: bool):
+    # Cached per config so periodic evaluation reuses the compiled program.
+    return jax.jit(
+        lambda p, xs: cross_modal_mse(
+            p, xs, cfg, compute_dtype=compute_dtype, use_pallas=use_pallas
+        )
     )
+
+
+def evaluate(params, xs, cfg, *, compute_dtype=jnp.float32, use_pallas=False) -> dict:
+    """Host-friendly wrapper: jitted cross-modal MSE dict of floats."""
+    fn = _eval_fn(cfg, jnp.dtype(compute_dtype), bool(use_pallas))
     return {k: float(v) for k, v in fn(params, list(xs)).items()}

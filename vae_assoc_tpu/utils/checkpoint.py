@@ -45,6 +45,10 @@ def save(
     train step: orbax copies device→host synchronously inside save();
     only the disk write is deferred, so donation can't clobber it.
     """
+    # Join any in-flight async save to the same path first — otherwise its
+    # manager would be dropped un-waited (abandoned write) and two live
+    # managers would race on the directory's bookkeeping.
+    wait(path)
     mgr = _manager(path, keep)
     if step is None:
         step = int(jax.device_get(state.step))

@@ -54,7 +54,9 @@ def trajectories_over_images(
     """
     plt = _plt()
     imgs = np.asarray(images)[:n]
-    tr = np.asarray(trajs_flat)[:n].reshape(n, -1, n_dims)
+    tr = np.asarray(trajs_flat)[:n]
+    n = min(imgs.shape[0], tr.shape[0])  # fewer samples than requested
+    imgs, tr = imgs[:n], tr[:n].reshape(n, -1, n_dims)
     fig, axes = plt.subplots(1, n, figsize=(1.4 * n, 1.6))
     axes = np.atleast_1d(axes)
     margin = 1.5
