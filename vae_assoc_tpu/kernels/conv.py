@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _batch_tile, _interpret, _mm, _mm_tn
+from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_tn
 from vae_assoc_tpu.models.conv import (
     C2,
     IMG_SIZE,

@@ -1,0 +1,5 @@
+from vae_assoc_tpu.utils.logging import MetricsLogger, read_jsonl
+
+__all__ = ["MetricsLogger", "read_jsonl"]
+# checkpoint and viz are imported lazily by callers (orbax / matplotlib
+# are heavier deps than the logging core).
