@@ -107,3 +107,17 @@ def test_viz_trajectories_fewer_than_requested(rng):
     imgs = rng.uniform(0, 1, (4, 784)).astype(np.float32)
     trajs = rng.uniform(-1, 1, (4, 200)).astype(np.float32)
     assert viz.trajectories_over_images(imgs, trajs, n=8) is not None
+
+
+def test_reconstruct_sample_mode(rng):
+    """sample=True draws through z = mu + sigma*eps with fresh keys."""
+    model = vat.VariationalAutoencoder(TINY)
+    x = rng.uniform(0, 1, (8, 24)).astype(np.float32)
+    mean1 = np.asarray(model.reconstruct(x))
+    mean2 = np.asarray(model.reconstruct(x))
+    np.testing.assert_array_equal(mean1, mean2)  # mean path deterministic
+    s1 = np.asarray(model.reconstruct(x, sample=True))
+    s2 = np.asarray(model.reconstruct(x, sample=True))
+    assert np.abs(s1 - s2).max() > 1e-6  # sampled path varies per call
+    assert s1.shape == mean1.shape
+    assert 0.0 <= s1.min() and s1.max() <= 1.0

@@ -129,12 +129,33 @@ class AssocVariationalAutoEncoder:
             z = jax.random.normal(sub, (1, self.config.n_z), jnp.float32)
         return self._generate(self.state.params, jnp.asarray(z), modality=modality)
 
-    def reconstruct(self, xs: Sequence[np.ndarray]):
-        """Per-modality reconstructions (means: encode → μ → decode)."""
-        zs = self.transform(xs)
+    def reconstruct(self, xs: Sequence[np.ndarray], *, sample: bool = False):
+        """Per-modality reconstructions.
+
+        sample=False (default): deterministic mean path (encode → μ →
+        decode). sample=True: through a reparameterized draw z = μ + σ·ε
+        with a fresh key — the reference's `reconstruct` semantics (its
+        graph always sampled).
+        """
+        if not sample:
+            zs = self.transform(xs)
+            return tuple(
+                self._generate(self.state.params, z, modality=i)
+                for i, z in enumerate(zs)
+            )
+        from vae_assoc_tpu.models import vae as vae_mod
+
+        self._gen_key, *keys = jax.random.split(
+            self._gen_key, len(self.config.modalities) + 1
+        )
         return tuple(
-            self._generate(self.state.params, z, modality=i)
-            for i, z in enumerate(zs)
+            vae_mod.reconstruct(
+                p, jnp.asarray(x), m, key=k,
+                compute_dtype=self.train_config.compute_dtype,
+            )
+            for p, x, m, k in zip(
+                self.state.params["modalities"], xs, self.config.modalities, keys
+            )
         )
 
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
@@ -238,5 +259,5 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
     def transform(self, X):
         return super().transform([X])[0]
 
-    def reconstruct(self, X):
-        return super().reconstruct([X])[0]
+    def reconstruct(self, X, *, sample: bool = False):
+        return super().reconstruct([X], sample=sample)[0]
