@@ -121,3 +121,27 @@ def test_reconstruct_sample_mode(rng):
     assert np.abs(s1 - s2).max() > 1e-6  # sampled path varies per call
     assert s1.shape == mean1.shape
     assert 0.0 <= s1.min() and s1.max() <= 1.0
+
+
+def test_save_model_is_self_describing(rng, tmp_path):
+    """load() reconstructs model + config purely from the checkpoint dir."""
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"], assoc_lambda=0.7,
+        transfer_fct="relu", learning_rate=2e-3,
+    )
+    xs = [
+        rng.uniform(0, 1, (16, 24)).astype(np.float32),
+        rng.normal(size=(16, 24)).astype(np.float32),
+    ]
+    model.partial_fit(xs)
+    model.save_model(str(tmp_path))
+    loaded = vat.AssocVariationalAutoEncoder.load(str(tmp_path))
+    assert loaded.config == model.config
+    assert loaded.train_config == model.train_config
+    np.testing.assert_array_equal(
+        np.asarray(loaded.cross_generate(xs[0], "image", "trajectory")),
+        np.asarray(model.cross_generate(xs[0], "image", "trajectory")),
+    )
+    with pytest.raises(FileNotFoundError, match="model_config"):
+        vat.AssocVariationalAutoEncoder.load("/tmp/nope-nope-nope")

@@ -164,14 +164,46 @@ class AssocVariationalAutoEncoder:
 
     # -- persistence (reference: tf.train.Saver) ----------------------------
     def save_model(self, path: str, step: Optional[int] = None) -> str:
+        """Checkpoint state AND config — the directory is self-describing
+        (reload with :meth:`load` without knowing the constructor args)."""
+        import json
+        import os
+
+        from vae_assoc_tpu.configs import config_to_dict
         from vae_assoc_tpu.utils import checkpoint as ckpt
 
-        return ckpt.save(path, self.state, step=step)
+        out = ckpt.save(path, self.state, step=step)
+        cfg_path = os.path.join(os.path.abspath(os.path.expanduser(path)),
+                                "model_config.json")
+        with open(cfg_path, "w") as f:
+            json.dump(config_to_dict(self.config, self.train_config), f, indent=1)
+        return out
 
     def restore_model(self, path: str, step: Optional[int] = None) -> None:
         from vae_assoc_tpu.utils import checkpoint as ckpt
 
         self.state = ckpt.restore(path, self.state, step=step)
+
+    @classmethod
+    def load(cls, path: str, step: Optional[int] = None) -> "AssocVariationalAutoEncoder":
+        """Reconstruct a model purely from a `save_model` directory."""
+        import json
+        import os
+
+        from vae_assoc_tpu.configs import config_from_dict
+
+        cfg_path = os.path.join(os.path.abspath(os.path.expanduser(path)),
+                                "model_config.json")
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(
+                f"no model_config.json under {path} — was this saved with "
+                "save_model()?"
+            )
+        with open(cfg_path) as f:
+            cfg, tc = config_from_dict(json.load(f))
+        model = cls([], model_config=cfg, train_config=tc)
+        model.restore_model(path, step=step)
+        return model
 
 
 def train(

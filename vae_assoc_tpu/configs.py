@@ -234,6 +234,50 @@ class TrainConfig:
     adam_eps: float = 1e-8
 
 
+def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:
+    """JSON-serializable snapshot of model (+ optional train) config —
+    written next to checkpoints so they are self-describing."""
+    out = {
+        "assoc_lambda": cfg.assoc_lambda,
+        "modalities": [
+            {
+                "name": m.name,
+                "arch": dict(m.arch),
+                "recon": m.recon,
+                "encoder": m.encoder,
+                "transfer": m.transfer,
+            }
+            for m in cfg.modalities
+        ],
+    }
+    if tc is not None:
+        d = dataclasses.asdict(tc)
+        d["compute_dtype"] = jnp.dtype(tc.compute_dtype).name
+        out["train"] = d
+    return out
+
+
+def config_from_dict(d: Mapping) -> tuple:
+    """Inverse of :func:`config_to_dict` → (AssocConfig, TrainConfig|None)."""
+    cfg = AssocConfig(
+        [
+            ModalityConfig(
+                m["name"], m["arch"], recon=m["recon"],
+                encoder=m.get("encoder", "mlp"),
+                transfer=m.get("transfer", "softplus"),
+            )
+            for m in d["modalities"]
+        ],
+        assoc_lambda=d["assoc_lambda"],
+    )
+    tc = None
+    if "train" in d:
+        t = dict(d["train"])
+        t["compute_dtype"] = jnp.dtype(t["compute_dtype"])
+        tc = TrainConfig(**t)
+    return cfg, tc
+
+
 def baseline_config(milestone: int, **overrides):
     """The five BASELINE.json config milestones (lines 7-11).
 
