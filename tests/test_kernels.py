@@ -123,3 +123,35 @@ def test_full_train_step_with_pallas_kernels(rng):
         state, m = step(state, xs)
         losses.append(float(m["total"]))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize(
+    "batch,n_in,h1,h2,nz",
+    [(13, 30, 33, 17, 7), (40, 100, 64, 48, 12), (8, 784, 500, 500, 20)],
+)
+def test_fuzz_shapes_forward_and_grad_parity(rng, batch, n_in, h1, h2, nz):
+    """Awkward (non-power-of-two, non-128-multiple) dims exercise the
+    whole-batch tile fallback and Mosaic lane padding."""
+    arch = dict(
+        n_input=n_in, n_z=nz, n_hidden_recog_1=h1, n_hidden_recog_2=h2,
+        n_hidden_gener_1=h2, n_hidden_gener_2=h1,
+    )
+    params = networks.init_mlp_vae_params(jax.random.key(batch), arch)
+    x = jnp.asarray(rng.normal(size=(batch, n_in)).astype(np.float32))
+    mu_r, lv_r = networks.encode_mlp(params, x)
+    mu_k, lv_k = kmlp.encode_mlp_fused(params, x)
+    np.testing.assert_allclose(mu_k, mu_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lv_k, lv_r, rtol=1e-5, atol=1e-5)
+
+    def loss_ref(p):
+        mu, lv = networks.encode_mlp(p, x)
+        return jnp.sum(mu * mu) + jnp.sum(jnp.sin(lv))
+
+    def loss_ker(p):
+        mu, lv = kmlp.encode_mlp_fused(p, x)
+        return jnp.sum(mu * mu) + jnp.sum(jnp.sin(lv))
+
+    g_r = jax.grad(loss_ref)(params)["recog"]
+    g_k = jax.grad(loss_ker)(params)["recog"]
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
