@@ -10,6 +10,11 @@ via TF2 in bench) the CPU throughput baseline.
 
 ε (the reparameterization noise) is an explicit argument everywhere so the
 oracle and the JAX path see identical randomness.
+
+Reductions are pinned to strict left-to-right order (`np.cumsum`, which is
+sequential by definition — `np.sum` is pairwise) so the oracle's reduction
+skeleton is bit-identical to the JAX parity path's `losses.ordered_sum`
+(loop-carried scan). See docs/PARITY.md for the bitwise-parity contract.
 """
 
 from __future__ import annotations
@@ -17,6 +22,17 @@ from __future__ import annotations
 import numpy as np
 
 EPS = 1e-10
+
+
+def ordered_sum(a, axis=-1):
+    """Strict sequential left-to-right sum (pinned order; np.sum is pairwise)."""
+    return np.cumsum(a, axis=axis, dtype=np.float32).take(-1, axis=axis)
+
+
+def ordered_mean(a, axis=-1):
+    # Reciprocal-multiply to match XLA's divide-by-constant rewrite (see
+    # losses.ordered_mean): bit-identical to the JAX parity path.
+    return ordered_sum(a, axis) * np.float32(1.0 / a.shape[axis])
 
 
 def softplus(x):
@@ -52,16 +68,18 @@ def reparam(z_mean, z_logvar, eps):
 
 def bernoulli_recon(x, probs):
     ll = x * np.log(EPS + probs) + (1.0 - x) * np.log(EPS + 1.0 - probs)
-    return -np.sum(ll, axis=-1)
+    return -ordered_sum(ll, axis=-1)
 
 
 def gaussian_recon(x, x_recon):
     d = x - x_recon
-    return np.sum(d * d, axis=-1)
+    return ordered_sum(d * d, axis=-1)
 
 
 def kl(z_mean, z_logvar):
-    return -0.5 * np.sum(1.0 + z_logvar - z_mean**2 - np.exp(z_logvar), axis=-1)
+    return -0.5 * ordered_sum(
+        1.0 + z_logvar - z_mean**2 - np.exp(z_logvar), axis=-1
+    )
 
 
 def assoc_term(z_means):
@@ -69,7 +87,7 @@ def assoc_term(z_means):
     for i in range(len(z_means)):
         for j in range(i + 1, len(z_means)):
             d = z_means[i] - z_means[j]
-            total = total + np.sum(d * d, axis=-1)
+            total = total + ordered_sum(d * d, axis=-1)
     return total
 
 
@@ -87,11 +105,11 @@ def joint_loss(params_list, xs, eps_list, recon_types, assoc_lambda):
         else:
             rec = gaussian_recon(x, out)
         k_l = kl(zm, zlv)
-        metrics[f"recon_{k}"] = np.mean(rec)
-        metrics[f"kl_{k}"] = np.mean(k_l)
-        total = total + np.mean(rec) + np.mean(k_l)
+        metrics[f"recon_{k}"] = ordered_mean(rec)
+        metrics[f"kl_{k}"] = ordered_mean(k_l)
+        total = total + metrics[f"recon_{k}"] + metrics[f"kl_{k}"]
         z_means.append(zm)
-    a = np.mean(assoc_term(z_means)) if len(z_means) > 1 else np.float32(0.0)
+    a = ordered_mean(assoc_term(z_means)) if len(z_means) > 1 else np.float32(0.0)
     metrics["assoc"] = a
     total = total + np.float32(assoc_lambda) * a
     metrics["total"] = total

@@ -1,9 +1,10 @@
 """Forward-pass and joint-loss parity vs the numpy oracle, with injected ε.
 
-BASELINE.json:5 contract: "bitwise-comparable losses at fp32 on CPU". XLA
-may reassociate within dot products, so exact bitwise equality is asserted
-where achievable and ≤1e-5 relative agreement elsewhere (SURVEY.md §7
-"Hard parts": documented tolerance where reassociation applies).
+These are the *relative-tolerance* sanity checks. The BASELINE.json:5
+"bitwise-comparable losses at fp32 on CPU" contract itself is asserted in
+tests/test_bitwise_parity.py (pinned reduction order, exact bit equality
+for transcendental-free terms, tight measured ULP bounds elsewhere) and
+documented with per-primitive evidence in docs/PARITY.md.
 """
 
 import jax

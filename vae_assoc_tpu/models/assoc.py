@@ -123,7 +123,11 @@ def assoc_loss_fn(
             metrics[f"recon_{m.name}"] = terms["recon"]
             metrics[f"kl_{m.name}"] = terms["kl"]
             total = total + terms["recon"] + terms["kl"]
-        assoc = jnp.mean(losses.assoc_loss([o.z_mean for o in outs]))
+        per_sample_assoc = losses.assoc_loss(
+            [o.z_mean for o in outs], ordered=parity_mode
+        )
+        mean = losses.ordered_mean if parity_mode else jnp.mean
+        assoc = mean(per_sample_assoc)
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total

@@ -22,6 +22,18 @@ Two formulations of the Bernoulli term are provided:
   and one fewer transcendental).
 
 All reductions accumulate in fp32 regardless of compute dtype.
+
+**Pinned reduction order (`ordered=True`, implied by parity mode).** XLA's
+`jnp.sum`/`jnp.mean` reduce in an unspecified tree order, so their bits
+differ from numpy's pairwise reduction. `ordered_sum`/`ordered_mean` fix a
+strict left-to-right order via a loop-carried `lax.scan`, which XLA cannot
+reassociate; the numpy oracle pins the identical order with `np.cumsum`.
+This makes every reduction skeleton — and the transcendental-free loss
+terms (Gaussian recon, association) — **bit-identical** between the JAX
+fp32 CPU path and the oracle. Terms containing transcendentals (Bernoulli
+log, KL exp) agree to a few ULP, bounded by libm-vs-XLA elementwise
+differences, not by reduction order; the measured per-primitive gaps live
+in docs/PARITY.md (probe: scripts/bitwise_probe.py).
 """
 
 from __future__ import annotations
@@ -34,6 +46,39 @@ _EPS = 1e-10  # reference's log-clamp epsilon
 
 def _f32(x):
     return x.astype(jnp.float32)
+
+
+def ordered_sum(x, axis: int = -1) -> jax.Array:
+    """Sum with a pinned strict left-to-right accumulation order.
+
+    A loop-carried `lax.scan` chain: XLA must preserve float-add order
+    across loop iterations, unlike `jnp.sum`'s unspecified reduction tree.
+    Matches `np.cumsum(x, axis)[..., -1]` (sequential by definition) bit
+    for bit at fp32 — verified in tests/test_bitwise_parity.py.
+    """
+    x = jnp.moveaxis(_f32(x), axis, 0)
+    if x.shape[0] == 1:
+        return x[0]
+
+    def step(acc, v):
+        return acc + v, None
+
+    out, _ = jax.lax.scan(step, x[0], x[1:])
+    return out
+
+
+def ordered_mean(x, axis: int = -1) -> jax.Array:
+    """`ordered_sum` times the precomputed fp32 reciprocal of the length.
+
+    Reciprocal-multiply, not division: XLA's algebraic simplifier rewrites
+    fp32 divide-by-constant into multiply-by-reciprocal (measured: 1 ULP off
+    true division for non-power-of-two n), so pinning the multiply on both
+    sides is what makes the mean bit-reproducible vs the numpy oracle."""
+    return ordered_sum(x, axis) * jnp.float32(1.0 / x.shape[axis])
+
+
+def _sum(x, *, ordered: bool, axis: int = -1):
+    return ordered_sum(x, axis) if ordered else jnp.sum(x, axis=axis)
 
 
 def bernoulli_recon(
@@ -50,27 +95,30 @@ def bernoulli_recon(
             probs = jax.nn.sigmoid(_f32(logits))
         probs = _f32(probs)
         ll = x * jnp.log(_EPS + probs) + (1.0 - x) * jnp.log(_EPS + 1.0 - probs)
-        return -jnp.sum(ll, axis=-1)
+        return -_sum(ll, ordered=parity_mode)
     l = _f32(logits)
     # Stable sigmoid cross-entropy from logits.
     ce = jnp.maximum(l, 0.0) - l * x + jnp.log1p(jnp.exp(-jnp.abs(l)))
     return jnp.sum(ce, axis=-1)
 
 
-def gaussian_recon(x, x_recon) -> jax.Array:
-    """Per-sample squared-error reconstruction (linear decoder), shape [batch]."""
+def gaussian_recon(x, x_recon, *, ordered: bool = False) -> jax.Array:
+    """Per-sample squared-error reconstruction (linear decoder), shape [batch].
+
+    Transcendental-free, so with ``ordered=True`` it is bit-identical to the
+    numpy oracle at fp32 on CPU."""
     d = _f32(x) - _f32(x_recon)
-    return jnp.sum(d * d, axis=-1)
+    return _sum(d * d, ordered=ordered)
 
 
-def kl_divergence(z_mean, z_logvar) -> jax.Array:
+def kl_divergence(z_mean, z_logvar, *, ordered: bool = False) -> jax.Array:
     """Per-sample KL(N(μ, σ²) ‖ N(0, I)), summed over latent dims, shape [batch]."""
     mu = _f32(z_mean)
     lv = _f32(z_logvar)
-    return -0.5 * jnp.sum(1.0 + lv - mu * mu - jnp.exp(lv), axis=-1)
+    return -0.5 * _sum(1.0 + lv - mu * mu - jnp.exp(lv), ordered=ordered)
 
 
-def assoc_loss(z_means) -> jax.Array:
+def assoc_loss(z_means, *, ordered: bool = False) -> jax.Array:
     """Cross-modal latent-association term, shape [batch].
 
     Per-sample Σ_{i<j} ‖μ_i − μ_j‖² over all modality pairs — the coupling
@@ -84,5 +132,5 @@ def assoc_loss(z_means) -> jax.Array:
     for i in range(len(zs)):
         for j in range(i + 1, len(zs)):
             d = zs[i] - zs[j]
-            total = total + jnp.sum(d * d, axis=-1)
+            total = total + _sum(d * d, ordered=ordered)
     return total
