@@ -58,6 +58,34 @@ def test_fused_loss_grad_parity(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+def test_fused_loss_input_grad_parity(rng):
+    """d loss / d x (the targets) must be the true closed-form gradient, not
+    silently zero — input-optimization / adversarial-input uses differentiate
+    through the targets."""
+    xs, recons, mus, lvs = _data(rng)
+
+    def total_fused(xs):
+        return jnp.mean(jnp.sum(joint_loss_terms_fused(KINDS, xs, recons, mus, lvs), -1))
+
+    def total_ref(xs):
+        return jnp.mean(jnp.sum(_reference_terms(xs, recons, mus, lvs), -1))
+
+    g_f = jax.grad(total_fused)(xs)
+    g_r = jax.grad(total_ref)(xs)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        assert float(jnp.max(jnp.abs(b))) > 0  # the reference grad is nonzero
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_loss_ragged_batch(rng):
+    """Prime batch size → ceil-div grid with a ragged last tile."""
+    xs, recons, mus, lvs = _data(rng, b=37)
+    got = joint_loss_terms_fused(KINDS, xs, recons, mus, lvs)
+    ref = _reference_terms(xs, recons, mus, lvs)
+    assert got.shape == (37, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
 def test_fused_loss_in_assoc_matches_jnp_path(rng):
     """assoc_loss_fn(use_pallas=True) == use_pallas=False with same ε."""
     from vae_assoc_tpu.configs import AssocConfig, ModalityConfig

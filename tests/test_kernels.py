@@ -29,7 +29,8 @@ def params():
     return networks.init_mlp_vae_params(jax.random.key(3), ARCH)
 
 
-@pytest.mark.parametrize("batch", [16, 24])  # 24 → 3 grid tiles of 8
+@pytest.mark.parametrize("batch", [16, 24, 300])  # 24 → one padded tile of
+# 32; 300 → multi-tile ceil-div grid (2×256 fwd / 3×128 bwd) with ragged tail
 def test_encoder_forward_parity(params, rng, batch):
     x = jnp.asarray(rng.normal(size=(batch, ARCH["n_input"])).astype(np.float32))
     mu_r, lv_r = networks.encode_mlp(params, x)
@@ -38,7 +39,7 @@ def test_encoder_forward_parity(params, rng, batch):
     np.testing.assert_allclose(lv_k, lv_r, rtol=1e-6, atol=1e-6)
 
 
-@pytest.mark.parametrize("batch", [16, 24])
+@pytest.mark.parametrize("batch", [16, 24, 300])
 def test_decoder_forward_parity(params, rng, batch):
     z = jnp.asarray(rng.normal(size=(batch, ARCH["n_z"])).astype(np.float32))
     out_r = networks.decode_mlp(params, z)
@@ -54,7 +55,7 @@ def _assert_tree_close(a, b, rtol=5e-5, atol=1e-5):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=rtol, atol=atol)
 
 
-@pytest.mark.parametrize("batch", [16, 24])
+@pytest.mark.parametrize("batch", [16, 24, 300])
 def test_encoder_grad_parity(params, rng, batch):
     x = jnp.asarray(rng.normal(size=(batch, ARCH["n_input"])).astype(np.float32))
     t = jnp.asarray(rng.normal(size=(batch, ARCH["n_z"])).astype(np.float32))
@@ -74,7 +75,7 @@ def test_encoder_grad_parity(params, rng, batch):
     _assert_tree_close(gx_k, gx_r)
 
 
-@pytest.mark.parametrize("batch", [16, 24])
+@pytest.mark.parametrize("batch", [16, 24, 300])
 def test_decoder_grad_parity(params, rng, batch):
     z = jnp.asarray(rng.normal(size=(batch, ARCH["n_z"])).astype(np.float32))
 
@@ -153,5 +154,57 @@ def test_fuzz_shapes_forward_and_grad_parity(rng, batch, n_in, h1, h2, nz):
 
     g_r = jax.grad(loss_ref)(params)["recog"]
     g_k = jax.grad(loss_ker)(params)["recog"]
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("batch", [4100, 10007])
+def test_ragged_large_batch_at_reference_arch(rng, batch):
+    """Production-sized batches that no power-of-two tile divides (10007 is
+    prime) must tile via the ceil-div grid + masked last tile — NOT fall
+    back to one whole-batch VMEM tile (which would exceed VMEM on TPU).
+    Weight grads are the sharp edge: an unmasked ragged tile would add
+    garbage rows into the accumulators."""
+    arch = dict(
+        n_input=784, n_z=20, n_hidden_recog_1=500, n_hidden_recog_2=500,
+        n_hidden_gener_1=500, n_hidden_gener_2=500,
+    )
+    params = networks.init_mlp_vae_params(jax.random.key(0), arch)
+    x = jnp.asarray(rng.normal(size=(batch, 784)).astype(np.float32))
+
+    # The tile policy must actually tile (multi-step grid, bounded tile).
+    tile = kmlp._batch_tile(batch)
+    assert tile <= 256 and batch % tile != 0  # genuinely ragged
+
+    mu_r, lv_r = networks.encode_mlp(params, x)
+    mu_k, lv_k = kmlp.encode_mlp_fused(params, x)
+    np.testing.assert_allclose(mu_k, mu_r, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(lv_k, lv_r, rtol=1e-5, atol=1e-5)
+
+    def enc_loss(encode):
+        def f(p):
+            mu, lv = encode(p, x)
+            return jnp.mean(mu * mu) + jnp.mean(jnp.sin(lv))
+
+        return f
+
+    g_r = jax.grad(enc_loss(networks.encode_mlp))(params)["recog"]
+    g_k = jax.grad(enc_loss(kmlp.encode_mlp_fused))(params)["recog"]
+    for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+    z = jnp.asarray(rng.normal(size=(batch, 20)).astype(np.float32))
+    out_r = networks.decode_mlp(params, z)
+    out_k = kmlp.decode_mlp_fused(params, z)
+    np.testing.assert_allclose(out_k, out_r, rtol=1e-5, atol=1e-5)
+
+    def dec_loss(decode):
+        def f(p):
+            return jnp.mean(jnp.tanh(decode(p, z)))
+
+        return f
+
+    g_r = jax.grad(dec_loss(networks.decode_mlp))(params)["gener"]
+    g_k = jax.grad(dec_loss(kmlp.decode_mlp_fused))(params)["gener"]
     for a, b in zip(jax.tree.leaves(g_r), jax.tree.leaves(g_k)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4)

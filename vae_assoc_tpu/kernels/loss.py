@@ -66,7 +66,8 @@ def _loss_kernel(kinds, *refs):
 
 
 def _loss_bwd_kernel(kinds, refs, douts):
-    """refs: (g_ref, xs…, recons…, mus…, lvs…); douts: (drecons…, dmus…, dlvs…).
+    """refs: (g_ref, xs…, recons…, mus…, lvs…);
+    douts: (dxs…, drecons…, dmus…, dlvs…).
 
     g_ref is the [B, n_terms] cotangent of the per-sample loss matrix.
     """
@@ -76,9 +77,10 @@ def _loss_bwd_kernel(kinds, refs, douts):
     recons = refs[1 + k : 1 + 2 * k]
     mus = refs[1 + 2 * k : 1 + 3 * k]
     lvs = refs[1 + 3 * k : 1 + 4 * k]
-    drecons = douts[:k]
-    dmus = douts[k : 2 * k]
-    dlvs = douts[2 * k : 3 * k]
+    dxs = douts[:k]
+    drecons = douts[k : 2 * k]
+    dmus = douts[2 * k : 3 * k]
+    dlvs = douts[3 * k : 4 * k]
     g = g_ref[:]
     for i, kind in enumerate(kinds):
         g_rec = g[:, i : i + 1]
@@ -86,8 +88,11 @@ def _loss_bwd_kernel(kinds, refs, douts):
         r = recons[i][:]
         if kind == "bernoulli":
             drecons[i][:] = (jax.nn.sigmoid(r) - x) * g_rec
+            # d ce/dx for ce = max(r,0) − r·x + log1p(e^−|r|)  is  −r.
+            dxs[i][:] = -r * g_rec
         else:
             drecons[i][:] = 2.0 * (r - x) * g_rec
+            dxs[i][:] = 2.0 * (x - r) * g_rec
     for i in range(k):
         g_kl = g[:, k + i : k + i + 1]
         mu = mus[i][:]
@@ -140,7 +145,7 @@ def _loss_fwd(kinds, xs, recons, mus, lvs):
     tile = _loss_tile(b, args)
     out = pl.pallas_call(
         functools.partial(_loss_kernel, kinds),
-        grid=(b // tile,),
+        grid=(pl.cdiv(b, tile),),
         in_specs=[_row_spec(tile, a.shape[-1]) for a in args],
         out_specs=_row_spec(tile, 2 * k + 1),
         out_shape=jax.ShapeDtypeStruct((b, 2 * k + 1), jnp.float32),
@@ -161,23 +166,23 @@ def _loss_bwd(kinds, res, g):
         _loss_bwd_kernel(kinds, refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :])
 
     out_shapes = tuple(
-        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*recons, *mus, *lvs)
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*xs, *recons, *mus, *lvs)
     )
     b = xs[0].shape[0]
     tile = _loss_tile(b, args, n_live=6)
     grads = pl.pallas_call(
         kern,
-        grid=(b // tile,),
+        grid=(pl.cdiv(b, tile),),
         in_specs=[_row_spec(tile, 2 * k + 1)]
         + [_row_spec(tile, a.shape[-1]) for a in args],
         out_specs=tuple(_row_spec(tile, s.shape[-1]) for s in out_shapes),
         out_shape=out_shapes,
         interpret=_interpret(),
     )(g.astype(jnp.float32), *args)
-    drecons = tuple(grads[:k])
-    dmus = tuple(grads[k : 2 * k])
-    dlvs = tuple(grads[2 * k : 3 * k])
-    dxs = tuple(jnp.zeros_like(x) for x in xs)  # targets are not differentiated
+    dxs = tuple(grads[:k])
+    drecons = tuple(grads[k : 2 * k])
+    dmus = tuple(grads[2 * k : 3 * k])
+    dlvs = tuple(grads[3 * k : 4 * k])
     return dxs, drecons, dmus, dlvs
 
 

@@ -37,14 +37,36 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
+BWD_TILE_LIMIT = 128  # backward holds weights + grad accumulators +
+# rematerialized activations + ragged-mask temps in VMEM at once; 128 keeps
+# the reference-scale encoder (784/500/500/20) under the 16 MB scoped limit
+# (256 overflowed by ~1.9 MB once masking temps were added).
+
+
 def _batch_tile(b: int, limit: int = 256) -> int:
-    # 256 keeps the encoder backward under the ~16MB VMEM budget: batch tile
-    # + all weights + weight-grad accumulators + rematerialized activations.
-    """Largest power-of-two tile ≤ limit dividing b (else one big tile)."""
-    for t in (512, 256, 128, 64, 32, 16, 8):
-        if t <= limit and b % t == 0 and b >= t:
-            return t
-    return b
+    """Batch tile ≤ limit, always a multiple of 8 (Mosaic requires the
+    sublane dim of a block divisible by 8 unless it equals the array dim).
+    The batch need NOT divide it: the grid is ceil-div and a ragged last
+    tile is masked in the kernels, so an arbitrary (e.g. prime)
+    production-sized batch never degenerates into a single whole-batch
+    VMEM tile."""
+    if b >= limit:
+        return max(8, (limit // 8) * 8)
+    t = 8
+    while t < b:
+        t *= 2
+    return t
+
+
+def _grid(b: int, tile: int) -> tuple:
+    return (pl.cdiv(b, tile),)
+
+
+def _row_mask(tile: int, b: int):
+    """[tile, 1] bool mask of rows that belong to the real batch in this
+    grid step (False on the zero-padded tail of a ragged last tile)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    return rows < (b - pl.program_id(0) * tile)
 
 
 def _mm(a, w, cd):
@@ -104,17 +126,25 @@ def _enc_fwd_kernel(cd, x_ref, w1, b1, w2, b2, wm, bm, wl, bl, mu_ref, lv_ref):
 
 
 def _enc_bwd_kernel(
-    cd, x_ref, w1, b1, w2, b2, wm, bm, wl, bl, dmu_ref, dlv_ref,
+    cd, nrows, x_ref, w1, b1, w2, b2, wm, bm, wl, bl, dmu_ref, dlv_ref,
     dx_ref, dw1, db1, dw2, db2, dwm, dbm, dwl, dbl,
 ):
+    x = x_ref[:]
+    dmu = dmu_ref[:]
+    dlv = dlv_ref[:]
+    if nrows % x.shape[0]:
+        # Ragged last tile: zero both the inputs (so rematerialized
+        # activations are finite) and the cotangents (so masked rows
+        # contribute exactly 0 to the weight-grad accumulators).
+        valid = _row_mask(x.shape[0], nrows)
+        x = jnp.where(valid, x, 0.0)
+        dmu = jnp.where(valid, dmu, 0.0)
+        dlv = jnp.where(valid, dlv, 0.0)
     # Rematerialize forward activations for this batch tile.
-    a1 = _mm(x_ref[:], w1[:], cd) + b1[:]
+    a1 = _mm(x, w1[:], cd) + b1[:]
     h1 = _softplus(a1)
     a2 = _mm(h1, w2[:], cd) + b2[:]
     h2 = _softplus(a2)
-
-    dmu = dmu_ref[:]
-    dlv = dlv_ref[:]
     # Head grads + fan-in to h2; transposed operands go to the MXU via
     # dot_general dimension numbers (no VMEM transpose materialized).
     dh2 = _mm_nt(dmu, wm[:], cd) + _mm_nt(dlv, wl[:], cd)
@@ -131,7 +161,7 @@ def _enc_bwd_kernel(
         (dbl, jnp.sum(dlv, axis=0, keepdims=True)),
         (dw2, _mm_tn(h1, da2, cd)),
         (db2, jnp.sum(da2, axis=0, keepdims=True)),
-        (dw1, _mm_tn(x_ref[:], da1, cd)),
+        (dw1, _mm_tn(x, da1, cd)),
         (db1, jnp.sum(da1, axis=0, keepdims=True)),
     ):
         @pl.when(first)
@@ -170,10 +200,9 @@ def _encode_fused_fwd(flat, x, cd):
     b, n_in = x.shape
     n_z = flat[4].shape[1]
     tile = _batch_tile(b)
-    grid = (b // tile,) if b % tile == 0 else (1,)
     mu, lv = pl.pallas_call(
         functools.partial(_enc_fwd_kernel, cd),
-        grid=grid,
+        grid=_grid(b, tile),
         in_specs=[_tile_spec(tile, n_in)] + _full_specs(8),
         out_specs=(_tile_spec(tile, n_z), _tile_spec(tile, n_z)),
         out_shape=(
@@ -189,13 +218,12 @@ def _encode_fused_bwd(cd, res, cts):
     flat, x = res
     dmu, dlv = cts
     b, n_in = x.shape
-    tile = _batch_tile(b)
-    grid = (b // tile,) if b % tile == 0 else (1,)
+    tile = _batch_tile(b, limit=BWD_TILE_LIMIT)
     n_z = flat[4].shape[1]
     w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
     dx, *dflat = pl.pallas_call(
-        functools.partial(_enc_bwd_kernel, cd),
-        grid=grid,
+        functools.partial(_enc_bwd_kernel, cd, b),
+        grid=_grid(b, tile),
         in_specs=[_tile_spec(tile, n_in)]
         + _full_specs(8)
         + [_tile_spec(tile, n_z), _tile_spec(tile, n_z)],
@@ -231,15 +259,20 @@ def _dec_fwd_kernel(cd, z_ref, w1, b1, w2, b2, wo, bo, out_ref):
 
 
 def _dec_bwd_kernel(
-    cd, z_ref, w1, b1, w2, b2, wo, bo, dout_ref,
+    cd, nrows, z_ref, w1, b1, w2, b2, wo, bo, dout_ref,
     dz_ref, dw1, db1, dw2, db2, dwo, dbo,
 ):
-    a1 = _mm(z_ref[:], w1[:], cd) + b1[:]
+    z = z_ref[:]
+    dout = dout_ref[:]
+    if nrows % z.shape[0]:
+        # Ragged last tile (see _enc_bwd_kernel).
+        valid = _row_mask(z.shape[0], nrows)
+        z = jnp.where(valid, z, 0.0)
+        dout = jnp.where(valid, dout, 0.0)
+    a1 = _mm(z, w1[:], cd) + b1[:]
     h1 = _softplus(a1)
     a2 = _mm(h1, w2[:], cd) + b2[:]
     h2 = _softplus(a2)
-
-    dout = dout_ref[:]
     dh2 = _mm_nt(dout, wo[:], cd)
     da2 = dh2 * jax.nn.sigmoid(a2)
     dh1 = _mm_nt(da2, w2[:], cd)
@@ -252,7 +285,7 @@ def _dec_bwd_kernel(
         (dbo, jnp.sum(dout, axis=0, keepdims=True)),
         (dw2, _mm_tn(h1, da2, cd)),
         (db2, jnp.sum(da2, axis=0, keepdims=True)),
-        (dw1, _mm_tn(z_ref[:], da1, cd)),
+        (dw1, _mm_tn(z, da1, cd)),
         (db1, jnp.sum(da1, axis=0, keepdims=True)),
     ):
         @pl.when(first)
@@ -282,10 +315,9 @@ def _decode_fused_fwd(flat, z, cd):
     b, n_z = z.shape
     n_out = flat[4].shape[1]
     tile = _batch_tile(b)
-    grid = (b // tile,) if b % tile == 0 else (1,)
     out = pl.pallas_call(
         functools.partial(_dec_fwd_kernel, cd),
-        grid=grid,
+        grid=_grid(b, tile),
         in_specs=[_tile_spec(tile, n_z)] + _full_specs(6),
         out_specs=_tile_spec(tile, n_out),
         out_shape=jax.ShapeDtypeStruct((b, n_out), jnp.float32),
@@ -298,12 +330,11 @@ def _decode_fused_bwd(cd, res, dout):
     flat, z = res
     b, n_z = z.shape
     n_out = flat[4].shape[1]
-    tile = _batch_tile(b)
-    grid = (b // tile,) if b % tile == 0 else (1,)
+    tile = _batch_tile(b, limit=BWD_TILE_LIMIT)
     w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
     dz, *dflat = pl.pallas_call(
-        functools.partial(_dec_bwd_kernel, cd),
-        grid=grid,
+        functools.partial(_dec_bwd_kernel, cd, b),
+        grid=_grid(b, tile),
         in_specs=[_tile_spec(tile, n_z)] + _full_specs(6) + [_tile_spec(tile, n_out)],
         out_specs=tuple(
             [_tile_spec(tile, n_z)]

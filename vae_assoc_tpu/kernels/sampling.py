@@ -65,7 +65,7 @@ def _sample_impl(z_mean, z_logvar, seed):
     row = pl.BlockSpec((tile, nz), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _reparam_kernel,
-        grid=(b // tile,),
+        grid=(pl.cdiv(b, tile),),
         in_specs=[row, row, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(row, row),
         out_shape=(
