@@ -58,6 +58,24 @@ def test_predictor_from_checkpoint(model, tmp_path, rng):
     )
 
 
+def test_predictor_load_self_describing(model, tmp_path, rng):
+    """One-call load: no config object needed (reads model_config.json)."""
+    model.save_model(str(tmp_path))
+    pred = Predictor.load(str(tmp_path))
+    assert [m.name for m in pred.cfg.modalities] == ["image", "trajectory"]
+    x = rng.uniform(0, 1, (4, 24)).astype(np.float32)
+    np.testing.assert_allclose(
+        pred.cross_generate(x, "image", "trajectory"),
+        np.asarray(model.cross_generate(x, "image", "trajectory")),
+        rtol=1e-6,
+    )
+
+
+def test_predictor_load_missing_config_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="model_config.json"):
+        Predictor.load(str(tmp_path))
+
+
 def test_predictor_warmup_and_limits(model):
     pred = Predictor.from_model(model)
     pred.warmup(buckets=(4,))

@@ -226,6 +226,13 @@ def train(
       data: list of K paired host arrays [N, n_input_k].
       fused: run all epochs as one device program (`train_loop_fused`).
       on_epoch: callback(epoch, metrics) every `display_step` epochs.
+        **With ``fused=True`` the callbacks fire only after the whole run
+        completes** — the entire training loop is a single XLA program that
+        cannot call back into Python mid-flight; the history is replayed to
+        `on_epoch` at the end. For live progress on long runs, either use
+        ``fused=False`` (one device program per epoch) or chunk the run
+        into several shorter `train(..., fused=True)` calls the way
+        `train.driver` does.
 
     Returns (model, history).
     """

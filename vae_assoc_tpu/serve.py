@@ -8,7 +8,7 @@ transform / reconstruct / cross-generate endpoints, and slices the
 padding off the result. Weights live in HBM once; requests only move
 activations.
 
-    pred = Predictor.from_checkpoint(path, cfg)
+    pred = Predictor.load(path)                               # self-describing dir
     traj = pred.cross_generate(imgs, "image", "trajectory")   # any batch size
 """
 
@@ -76,6 +76,35 @@ class Predictor:
         tc = train_config or TrainConfig()
         state = ckpt.restore(path, init_train_state(cfg, tc), step=step)
         return cls(state.params, cfg, **kw)
+
+    @classmethod
+    def load(cls, path: str, *, step: Optional[int] = None, **kw) -> "Predictor":
+        """One-call serving load from a self-describing `save_model` dir.
+
+        Reads `model_config.json` (written by
+        `AssocVariationalAutoEncoder.save_model`) so the caller needs no
+        config object; compute dtype and kernel choice default to the
+        training-time settings (override via **kw).
+        """
+        import json
+        import os
+
+        from vae_assoc_tpu.configs import config_from_dict
+
+        cfg_path = os.path.join(
+            os.path.abspath(os.path.expanduser(path)), "model_config.json"
+        )
+        if not os.path.exists(cfg_path):
+            raise FileNotFoundError(
+                f"no model_config.json under {path} — save with "
+                "AssocVariationalAutoEncoder.save_model(), or use "
+                "Predictor.from_checkpoint(path, cfg) for a bare checkpoint"
+            )
+        with open(cfg_path) as f:
+            cfg, tc = config_from_dict(json.load(f))
+        kw.setdefault("compute_dtype", tc.compute_dtype)
+        kw.setdefault("use_pallas", tc.use_pallas)
+        return cls.from_checkpoint(path, cfg, train_config=tc, step=step, **kw)
 
     @classmethod
     def from_model(cls, model, **kw) -> "Predictor":
