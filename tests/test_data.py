@@ -1,5 +1,7 @@
 """Input-pipeline tests: resampler math vs numpy, rasterizer, UJI parser."""
 
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -138,3 +140,57 @@ def test_uji_to_dataset(tmp_path):
     ds = PairedDataset.from_uji([str(p)], n_timesteps=20)
     imgs, trajs = ds.features()
     assert imgs.shape == (2, 784) and trajs.shape == (2, 40)
+
+
+def test_write_uji_text_roundtrip(rng):
+    from vae_assoc_tpu.data.uji import write_uji_text
+
+    samples = [
+        ("a", [rng.integers(0, 1000, (5, 2)).astype(np.float32),
+               rng.integers(0, 1000, (3, 2)).astype(np.float32)]),
+        ("7", [(rng.random((4, 2)) * 100).astype(np.float32)]),
+    ]
+    text = write_uji_text(samples, header="round-trip test")
+    parsed = parse_uji_text(text)
+    assert [c for c, _ in parsed] == ["a", "7"]
+    for (_, want), (_, got) in zip(samples, parsed):
+        assert len(want) == len(got)
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "ujipenchars2_format.txt")
+
+
+def test_uji_format_fixture_end_to_end():
+    """The checked-in UJI-v2-format fixture (240 samples, 6 writer tags,
+    multi-stroke characters, integer tablet coords) through parser →
+    pipeline features. Content is synthetic (no network egress here —
+    scripts/fetch_uji.py documents the real download); the code path is
+    the real one."""
+    from vae_assoc_tpu.data.uji import load_uji_files
+
+    data = load_uji_files([FIXTURE], native="never")
+    assert data["points"].shape[0] == 240
+    assert data["label_names"] == [str(d) for d in range(10)]
+    ds = PairedDataset.from_uji([FIXTURE], n_timesteps=50)
+    imgs, trajs = ds.features()
+    assert imgs.shape == (240, 784) and trajs.shape == (240, 100)
+    i = np.asarray(imgs)
+    assert 0.0 <= i.min() and i.max() <= 1.0 and i.max() > 0.5
+
+
+def test_uji_fixture_native_python_bit_parity():
+    from vae_assoc_tpu import native
+    from vae_assoc_tpu.data.uji import load_uji_files
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no g++ toolchain")
+    a = load_uji_files([FIXTURE], native="never")
+    b = load_uji_files([FIXTURE], native="always")
+    np.testing.assert_array_equal(a["points"], b["points"])
+    np.testing.assert_array_equal(a["lengths"], b["lengths"])
+    np.testing.assert_array_equal(a["labels"], b["labels"])

@@ -67,6 +67,43 @@ def parse_uji_text(text: str) -> List[Tuple[str, List[np.ndarray]]]:
     return samples
 
 
+def write_uji_text(
+    samples: Sequence[Tuple[str, Sequence[np.ndarray]]],
+    *,
+    writer_tag: str = "w01",
+    header: str = "",
+) -> str:
+    """Serialize (character, [stroke arrays]) samples to UJI v2 text —
+    the exact inverse of :func:`parse_uji_text` (round-trip tested).
+
+    Strokes are written verbatim in the file/tablet convention
+    (:func:`parse_uji_text` also returns raw file coordinates; the y-up
+    flip happens later, in the loaders). Callers serializing y-up data —
+    e.g. the synthetic generator's strokes — must negate y themselves so
+    the loaders' flip restores it. Used to build format-faithful fixtures
+    and to re-export filtered subsets.
+    """
+    lines = []
+    for h in header.splitlines():
+        lines.append(f"// {h}")
+    for char, strokes in samples:
+        lines.append(f"WORD {char} {writer_tag}")
+        lines.append(f"  NUMSTROKES {len(strokes)}")
+        for s in strokes:
+            s = np.asarray(s, np.float64)
+            flat = " ".join(_fmt_coord(v) for xy in s for v in xy)
+            lines.append(f"    POINTS {len(s)} # {flat}")
+    return "\n".join(lines) + "\n"
+
+
+def _fmt_coord(v: float) -> str:
+    # UJI v2 files carry integer tablet coordinates; keep integers clean
+    # and fall back to repr-exact floats for synthetic data.
+    if float(v).is_integer():
+        return str(int(v))
+    return repr(float(np.float32(v)))
+
+
 def _load_python(paths, max_points):
     """Pure-Python per-file parse → (points, lengths, names) per file."""
     out = []
