@@ -39,7 +39,8 @@ def main():
         batch_size=16384,  # saturates the chip (sweep: 4096→2.8M, 16384→3.3M)
         compute_dtype=jnp.bfloat16,
         steps_per_call=4,
-        use_pallas=True,  # fused Pallas MLP kernels: measured +14% over XLA
+        use_pallas="mega",  # per-modality tower megakernels: +13% over the
+        # composable Pallas kernels, which are +14% over XLA (docs/PERF.md)
     )
 
     # Synthetic paired dataset, featurized on device by the input pipeline —

@@ -211,6 +211,10 @@ class TrainConfig:
         If False, the numerically-stable logit-space formulation is used.
       use_pallas: route encoder/decoder/loss through fused Pallas TPU kernels
         where available; falls back to the identical-math jnp path otherwise.
+        The string ``"mega"`` selects the per-modality tower megakernels
+        (kernels/megakernel.py: encoder+sampler+decoder+loss in one forward
+        launch) for the training loss; inference verbs keep the composable
+        kernels.
       steps_per_call: number of train steps fused into one device-side
         ``lax.scan`` per host call (amortizes dispatch; SURVEY.md §7
         "Tiny-model TPU efficiency").
@@ -222,7 +226,7 @@ class TrainConfig:
     batch_size: int = 64
     compute_dtype: Any = jnp.float32
     parity_mode: bool = False
-    use_pallas: bool = False
+    use_pallas: Any = False  # False | True | "mega"
     steps_per_call: int = 1
     data_axis: str = "data"
     seed: int = 0

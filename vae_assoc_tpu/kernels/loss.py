@@ -77,10 +77,9 @@ def _loss_bwd_kernel(kinds, refs, douts):
     recons = refs[1 + k : 1 + 2 * k]
     mus = refs[1 + 2 * k : 1 + 3 * k]
     lvs = refs[1 + 3 * k : 1 + 4 * k]
-    dxs = douts[:k]
-    drecons = douts[k : 2 * k]
-    dmus = douts[2 * k : 3 * k]
-    dlvs = douts[3 * k : 4 * k]
+    drecons = douts[:k]
+    dmus = douts[k : 2 * k]
+    dlvs = douts[2 * k : 3 * k]
     g = g_ref[:]
     for i, kind in enumerate(kinds):
         g_rec = g[:, i : i + 1]
@@ -88,11 +87,8 @@ def _loss_bwd_kernel(kinds, refs, douts):
         r = recons[i][:]
         if kind == "bernoulli":
             drecons[i][:] = (jax.nn.sigmoid(r) - x) * g_rec
-            # d ce/dx for ce = max(r,0) − r·x + log1p(e^−|r|)  is  −r.
-            dxs[i][:] = -r * g_rec
         else:
             drecons[i][:] = 2.0 * (r - x) * g_rec
-            dxs[i][:] = 2.0 * (x - r) * g_rec
     for i in range(k):
         g_kl = g[:, k + i : k + i + 1]
         mu = mus[i][:]
@@ -166,7 +162,7 @@ def _loss_bwd(kinds, res, g):
         _loss_bwd_kernel(kinds, refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :])
 
     out_shapes = tuple(
-        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*xs, *recons, *mus, *lvs)
+        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*recons, *mus, *lvs)
     )
     b = xs[0].shape[0]
     tile = _loss_tile(b, args, n_live=6)
@@ -179,11 +175,22 @@ def _loss_bwd(kinds, res, g):
         out_shape=out_shapes,
         interpret=_interpret(),
     )(g.astype(jnp.float32), *args)
-    dxs = tuple(grads[:k])
-    drecons = tuple(grads[k : 2 * k])
-    dmus = tuple(grads[2 * k : 3 * k])
-    dlvs = tuple(grads[3 * k : 4 * k])
-    return dxs, drecons, dmus, dlvs
+    drecons = tuple(grads[:k])
+    dmus = tuple(grads[k : 2 * k])
+    dlvs = tuple(grads[2 * k : 3 * k])
+    # d loss/dx (the targets): closed-form elementwise, emitted as plain XLA
+    # ops OUTSIDE the kernel so training (which never differentiates the
+    # data) dead-code-eliminates them for free, while input-optimization
+    # users still get the true gradient (not a silent zero).
+    g32 = g.astype(jnp.float32)
+    dxs = []
+    for i, kind in enumerate(kinds):
+        g_rec = g32[:, i : i + 1]
+        if kind == "bernoulli":
+            dxs.append(-recons[i] * g_rec)  # d/dx[max(r,0) − r·x + …] = −r
+        else:
+            dxs.append(2.0 * (xs[i] - recons[i]) * g_rec)
+    return tuple(dxs), drecons, dmus, dlvs
 
 
 joint_loss_terms_fused.defvjp(_loss_fwd, _loss_bwd)

@@ -1,0 +1,340 @@
+"""Per-modality VAE tower megakernel: encoder → sampler → decoder →
+per-sample loss terms in ONE forward `pallas_call`, with a split fused
+backward.
+
+Motivation (VERDICT round 1, "remaining headroom"): with the composable
+kernels (kernels/mlp.py + sampling.py + loss.py) each train step launches
+~7 kernels per modality-pair and the decoder output x̂ — the widest
+activation, [B, 784] for images — round-trips HBM five times per step
+(decoder write, loss read, loss-grad write, decoder-backward read, plus
+the forward's saved residual). This tower keeps x̂ and every hidden
+activation entirely in VMEM: per tile the only HBM traffic is x in and
+(μ, logσ², ε, recon_term, kl_term) out — the widest output is n_z columns.
+
+Backward is deliberately NOT one kernel: enc+dec weights *plus* their
+grad accumulators (~11.7 MB at the reference image arch) would leave VMEM
+room for only ~16-row batch tiles, starving the MXU (measured reasoning in
+docs/PERF.md). Instead:
+
+  1. a fused decoder+loss backward kernel (decoder weights + accumulators
+     only): rematerializes g1, g2, x̂ from z, forms the loss gradient
+     in-register, and emits dz + all decoder weight grads;
+  2. elementwise reparameterization/KL glue in XLA ([B, n_z] — trivial);
+  3. the existing fused encoder backward (kernels/mlp.py).
+
+Scope: this is the *training step's internal engine* (``use_pallas="mega"``),
+NOT a public composable op. Its VJP returns a zero cotangent for x under a
+documented closed-world invariant: the train step differentiates w.r.t.
+params only (train/step.py, jax.grad argnums=0), so dx is provably never
+consumed. Input-optimization users must use the composable kernels
+(``use_pallas=True``), whose loss VJP emits the true dx.
+
+Loss formulation matches ops/losses.py's default (stable logit-space CE
+for Bernoulli, SSE for Gaussian, closed-form KL) — parity and gradient
+equality vs the jnp path asserted in tests/test_megakernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_assoc_tpu.kernels.mlp import (
+    _encode_fused_bwd,
+    _grid,
+    _interpret,
+    _mm,
+    _mm_nt,
+    _mm_tn,
+    _row_mask,
+    _softplus,
+)
+from vae_assoc_tpu.kernels.sampling import _normal_bits
+
+
+def _rowsum(x):
+    return jnp.sum(x, axis=-1, keepdims=True)
+
+
+def _lane(w: int) -> int:
+    return max(128, ((w + 127) // 128) * 128)
+
+
+def _vmem_tile(b: int, weight_bytes: int, widest: int, n_live: int) -> int:
+    """Largest multiple-of-8 batch tile whose live temps fit beside the
+    resident weights under a 13 MB budget (margin below the 16 MB scoped
+    VMEM limit for Mosaic's SSA copies)."""
+    budget = 13 * 1024 * 1024 - weight_bytes
+    per_row = 4 * n_live * _lane(widest)
+    tile = max(8, min(256, budget // per_row))
+    tile = (tile // 8) * 8
+    if b < tile:
+        t = 8
+        while t < b:
+            t *= 2
+        return t
+    return max(8, tile)
+
+
+def _weight_bytes(widths) -> int:
+    lanes = [_lane(w) for w in widths]
+    return 4 * sum(a * b for a, b in zip(lanes[:-1], lanes[1:]))
+
+
+# ---------------------------------------------------------------------------
+# Forward: x → enc → ε/z → dec → per-sample (recon, kl); x̂ never leaves VMEM
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(cd, kind, nrows, seeded, *refs):
+    (x_ref, w1, b1, w2, b2, wm, bm, wl, bl, d1, c1, d2, c2, do, co,
+     eps_or_seed, mu_ref, lv_ref, eps_ref, rec_ref, kl_ref) = refs
+    x = x_ref[:]
+    h1 = _softplus(_mm(x, w1[:], cd) + b1[:])
+    h2 = _softplus(_mm(h1, w2[:], cd) + b2[:])
+    mu = _mm(h2, wm[:], cd) + bm[:]
+    lv = _mm(h2, wl[:], cd) + bl[:]
+    if seeded:
+        # On-core PRNG; per-tile seed decorrelation as in kernels/sampling.py.
+        pltpu.prng_seed(eps_or_seed[0] + pl.program_id(0) * jnp.int32(-1640531527))
+        eps = _normal_bits(mu.shape)
+    else:
+        eps = eps_or_seed[:]
+    z = mu + jnp.exp(0.5 * lv) * eps
+    g1 = _softplus(_mm(z, d1[:], cd) + c1[:])
+    g2 = _softplus(_mm(g1, d2[:], cd) + c2[:])
+    r = _mm(g2, do[:], cd) + co[:]
+    if kind == "bernoulli":
+        ce = jnp.maximum(r, 0.0) - r * x + jnp.log1p(jnp.exp(-jnp.abs(r)))
+        rec = _rowsum(ce)
+    else:
+        d = x - r
+        rec = _rowsum(d * d)
+    kl = -0.5 * _rowsum(1.0 + lv - mu * mu - jnp.exp(lv))
+    mu_ref[:] = mu
+    lv_ref[:] = lv
+    eps_ref[:] = eps
+    rec_ref[:] = rec
+    kl_ref[:] = kl
+
+
+# ---------------------------------------------------------------------------
+# Backward stage 1: fused decoder+loss backward (dz + decoder weight grads)
+# ---------------------------------------------------------------------------
+
+
+def _dec_loss_bwd_kernel(
+    cd, kind, nrows, x_ref, z_ref, d1, c1, d2, c2, do, co, grec_ref,
+    dz_ref, dd1, dc1, dd2, dc2, ddo, dco,
+):
+    x = x_ref[:]
+    z = z_ref[:]
+    grec = grec_ref[:]
+    tile = x.shape[0]
+    if nrows % tile:
+        valid = _row_mask(tile, nrows)
+        x = jnp.where(valid, x, 0.0)
+        z = jnp.where(valid, z, 0.0)
+        grec = jnp.where(valid, grec, 0.0)
+    # Rematerialize the decoder from z; x̂ and its gradient stay in VMEM.
+    b1d = _mm(z, d1[:], cd) + c1[:]
+    g1 = _softplus(b1d)
+    b2d = _mm(g1, d2[:], cd) + c2[:]
+    g2 = _softplus(b2d)
+    r = _mm(g2, do[:], cd) + co[:]
+    if kind == "bernoulli":
+        dr = (jax.nn.sigmoid(r) - x) * grec
+    else:
+        dr = 2.0 * (r - x) * grec
+    dg2 = _mm_nt(dr, do[:], cd)
+    db2d = dg2 * jax.nn.sigmoid(b2d)
+    dg1 = _mm_nt(db2d, d2[:], cd)
+    db1d = dg1 * jax.nn.sigmoid(b1d)
+    dz_ref[:] = _mm_nt(db1d, d1[:], cd)
+
+    first = pl.program_id(0) == 0
+    for ref, val in (
+        (ddo, _mm_tn(g2, dr, cd)),
+        (dco, jnp.sum(dr, axis=0, keepdims=True)),
+        (dd2, _mm_tn(g1, db2d, cd)),
+        (dc2, jnp.sum(db2d, axis=0, keepdims=True)),
+        (dd1, _mm_tn(z, db1d, cd)),
+        (dc1, jnp.sum(db1d, axis=0, keepdims=True)),
+    ):
+        @pl.when(first)
+        def _(ref=ref, val=val):
+            ref[:] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _(ref=ref, val=val):
+            ref[:] += val
+
+
+# ---------------------------------------------------------------------------
+# Wiring: flatten params, specs, custom VJP
+# ---------------------------------------------------------------------------
+
+
+def _flatten(params):
+    r, g = params["recog"], params["gener"]
+    return (
+        r["h1"]["w"], r["h1"]["b"][None, :],
+        r["h2"]["w"], r["h2"]["b"][None, :],
+        r["out_mean"]["w"], r["out_mean"]["b"][None, :],
+        r["out_logvar"]["w"], r["out_logvar"]["b"][None, :],
+        g["h1"]["w"], g["h1"]["b"][None, :],
+        g["h2"]["w"], g["h2"]["b"][None, :],
+        g["out"]["w"], g["out"]["b"][None, :],
+    )
+
+
+def unflatten_grads(flat_grads):
+    """Inverse of `_flatten` for the VJP's 14 weight-grad arrays."""
+    (dw1, db1, dw2, db2, dwm, dbm, dwl, dbl,
+     dd1, dc1, dd2, dc2, ddo, dco) = flat_grads
+    return {
+        "recog": {
+            "h1": {"w": dw1, "b": db1[0]},
+            "h2": {"w": dw2, "b": db2[0]},
+            "out_mean": {"w": dwm, "b": dbm[0]},
+            "out_logvar": {"w": dwl, "b": dbl[0]},
+        },
+        "gener": {
+            "h1": {"w": dd1, "b": dc1[0]},
+            "h2": {"w": dd2, "b": dc2[0]},
+            "out": {"w": ddo, "b": dco[0]},
+        },
+    }
+
+
+def _row_spec(tile, ncols):
+    return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _full_specs(n):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+def _widths(flat, n_in):
+    # Tower layer widths: n_in, h1e, h2e, n_z(+heads), h1d, h2d, n_out.
+    return (
+        n_in, flat[0].shape[1], flat[2].shape[1], flat[4].shape[1],
+        flat[8].shape[1], flat[10].shape[1], flat[12].shape[1],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _tower(kind, cd, flat, x, eps_or_seed):
+    return _tower_fwd(kind, cd, flat, x, eps_or_seed)[0]
+
+
+def _tower_fwd(kind, cd, flat, x, eps_or_seed):
+    b, n_in = x.shape
+    n_z = flat[4].shape[1]
+    seeded = eps_or_seed.ndim == 1  # int32 [1] seed vs [B, n_z] ε
+    widths = _widths(flat, n_in)
+    tile = _vmem_tile(b, _weight_bytes(widths), max(widths), n_live=8)
+    eps_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM) if seeded else _row_spec(tile, n_z)
+    )
+    mu, lv, eps, rec, kl = pl.pallas_call(
+        functools.partial(_fwd_kernel, cd, kind, b, seeded),
+        grid=_grid(b, tile),
+        in_specs=[_row_spec(tile, n_in)] + _full_specs(14) + [eps_spec],
+        out_specs=(
+            _row_spec(tile, n_z), _row_spec(tile, n_z), _row_spec(tile, n_z),
+            _row_spec(tile, 1), _row_spec(tile, 1),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, *flat, eps_or_seed)
+    out = {"mu": mu, "lv": lv, "recon_term": rec[:, 0], "kl_term": kl[:, 0]}
+    return out, (flat, x, mu, lv, eps, eps_or_seed)
+
+
+def _tower_bwd(kind, cd, res, cts):
+    flat, x, mu, lv, eps, eps_or_seed = res
+    b, n_in = x.shape
+    n_z = flat[4].shape[1]
+    enc_flat, dec_flat = flat[:8], flat[8:]
+    grec = cts["recon_term"][:, None]
+    gkl = cts["kl_term"][:, None]
+
+    # Reparameterization glue in XLA: [B, n_z] elementwise, fused for free.
+    sig = jnp.exp(0.5 * lv)
+    z = mu + sig * eps
+
+    # Stage 1: decoder+loss backward (decoder weights + accumulators only).
+    dec_widths = (n_z, dec_flat[0].shape[1], dec_flat[2].shape[1], n_in)
+    tile = _vmem_tile(b, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10)
+    dec_shapes = tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in dec_flat)
+    dz, *dec_grads = pl.pallas_call(
+        functools.partial(_dec_loss_bwd_kernel, cd, kind, b),
+        grid=_grid(b, tile),
+        in_specs=(
+            [_row_spec(tile, n_in), _row_spec(tile, n_z)]
+            + _full_specs(6)
+            + [_row_spec(tile, 1)]
+        ),
+        out_specs=tuple(
+            [_row_spec(tile, n_z)]
+            + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+               for s in dec_shapes]
+        ),
+        out_shape=tuple([jax.ShapeDtypeStruct((b, n_z), jnp.float32)] + list(dec_shapes)),
+        interpret=_interpret(),
+    )(x, z, *dec_flat, grec)
+
+    # Stage 2: reparam + KL gradients into (dμ, dlogσ²) — XLA elementwise.
+    dmu = dz + cts["mu"] + mu * gkl
+    dlv = cts["lv"] + 0.5 * (jnp.exp(lv) - 1.0) * gkl + 0.5 * dz * sig * eps
+
+    # Stage 3: existing fused encoder backward (kernels/mlp.py).
+    enc_grads, _dx = _encode_fused_bwd(cd, (enc_flat, x), (dmu, dlv))
+
+    dx = jnp.zeros_like(x)  # closed-world invariant: see module docstring
+    if jnp.issubdtype(eps_or_seed.dtype, jnp.integer):
+        import numpy as np
+
+        deps_or_seed = np.zeros(eps_or_seed.shape, jax.dtypes.float0)
+    else:
+        deps_or_seed = jnp.zeros_like(eps_or_seed)
+    return tuple(enc_grads) + tuple(dec_grads), dx, deps_or_seed
+
+
+_tower.defvjp(_tower_fwd, _tower_bwd)
+
+
+def vae_tower_fused(params, x, *, kind, key=None, eps=None, compute_dtype=jnp.float32):
+    """Whole VAE tower + per-sample loss terms, one forward kernel.
+
+    Returns dict(mu [B,n_z], lv [B,n_z], recon_term [B], kl_term [B]).
+    ε comes from the on-core PRNG when `key` is given (TPU; off-TPU the
+    key degrades to a jax.random draw like kernels/sampling.py), or is
+    injected explicitly for parity tests.
+    """
+    flat = _flatten(params)
+    if eps is None:
+        if key is None:
+            raise ValueError("vae_tower_fused needs `key` or `eps`")
+        if _interpret():
+            n_z = flat[4].shape[1]
+            arg = jax.random.normal(key, (x.shape[0], n_z), jnp.float32)
+        else:
+            data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+            arg = (data[0] ^ (data[-1] << 7)).astype(jnp.int32).reshape(1)
+    else:
+        arg = eps.astype(jnp.float32)
+    return _tower(
+        kind, jnp.dtype(compute_dtype).name, flat, x.astype(jnp.float32), arg
+    )

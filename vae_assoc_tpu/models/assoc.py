@@ -85,6 +85,10 @@ def assoc_loss_fn(
     Metrics are first-class jitted outputs (the parity surface, SURVEY.md §5
     "Metrics"): total, per-modality recon/kl, and the association term.
     """
+    if use_pallas == "mega" and not parity_mode:
+        return _assoc_loss_mega(
+            params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype
+        )
     outs = assoc_forward(
         params,
         xs,
@@ -128,6 +132,41 @@ def assoc_loss_fn(
         )
         mean = losses.ordered_mean if parity_mode else jnp.mean
         assoc = mean(per_sample_assoc)
+    metrics["assoc"] = assoc
+    total = total + jnp.float32(cfg.assoc_lambda) * assoc
+    metrics["total"] = total
+    return total, metrics
+
+
+def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype):
+    """Joint objective via the per-modality tower megakernels
+    (kernels/megakernel.py): one forward kernel per modality — the decoder
+    output never touches HBM — plus the tiny association term in XLA.
+    Training-engine path only: differentiable w.r.t. params, not inputs
+    (see the megakernel's closed-world invariant)."""
+    from vae_assoc_tpu.kernels.megakernel import vae_tower_fused
+
+    k = len(cfg.modalities)
+    if len(xs) != k:
+        raise ValueError(f"expected {k} modality inputs, got {len(xs)}")
+    keys = [None] * k
+    if eps is None:
+        if key is None:
+            raise ValueError("assoc_loss_fn needs `key` or `eps`")
+        keys = list(jax.random.split(key, k))
+        eps = [None] * k
+    metrics = {}
+    total = jnp.float32(0.0)
+    mus = []
+    for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps):
+        out = vae_tower_fused(
+            p, x, kind=m.recon, key=kk, eps=e, compute_dtype=compute_dtype
+        )
+        metrics[f"recon_{m.name}"] = jnp.mean(out["recon_term"])
+        metrics[f"kl_{m.name}"] = jnp.mean(out["kl_term"])
+        total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
+        mus.append(out["mu"])
+    assoc = jnp.mean(losses.assoc_loss(mus))
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total
