@@ -1,0 +1,368 @@
+"""Banded-matmul Pallas conv kernels — the TPU-native conv formulation.
+
+Why the im2col kernels (kernels/conv.py) lose at config-4 shapes: TPU
+vector memory tiles the minor dimension to 128 lanes, so a channel-minor
+[B, 28, 28, 1] block inflates 128× in VMEM (XLA reports the same layout
+at "146.3× expansion"), forcing 1–4-sample batch tiles; and each of the
+9 per-tap matmuls contracts over just `cin` (1–64) — a sliver of the MXU.
+
+This module instead puts **width×channels on the lane axis** and absorbs
+the entire column geometry of the convolution into a *banded weight
+matrix* built (differentiably) in XLA:
+
+    out[b, o, p·cout+co] = Σ_dy  xp[b, row(o,dy), :] @ M_dy[:, p·cout+co]
+    M_dy[col·cin+ci, p·cout+co] = w[dy, dx, ci, co]   (col = col_in(p, dx))
+
+so one 3×3 stride-2 conv = 3 MXU matmuls [tile·oh, wp·cin] @ [wp·cin, ow·cout]
+— K≈512-class contractions at 100-plus-row tiles instead of 9 K=cin
+slivers at 2-row tiles. A transposed conv decomposes by output-row parity
+into 3 more of the same banded matmuls on the *undilated* input (even
+rows sum taps dy∈{0,2}, odd rows take dy=1), interleaved afterwards — no
+zero-stuffed dilation ever materializes. The row selection (stride-2
+parity or contiguous) happens inside the kernel via reshape/slice; the
+band structure costs redundant multiply-by-zero FLOPs (≈3–6×) which the
+MXU absorbs far more cheaply than the im2col layout waste.
+
+Gradients: the generic primitive `_banded` has a custom VJP —
+dx-row-groups are the same banded matmuls against Mᵀ (re-embedded into
+rows by pad/stack/reshape in XLA), dM is rowsᵀ@g accumulated across batch
+tiles — and the M matrices are built from `w` by a differentiable XLA
+scatter-add, so `jax.grad` w.r.t. the HWIO kernel flows end-to-end with
+no conv-specific gradient calculus.
+
+Public drop-ins mirror kernels/conv.py: `conv3x3_s2`, `convt3x3_s2`,
+`encode_conv_fused`, `decode_conv_fused` (parity:
+tests/test_conv_banded.py; measured A/B: scripts/bench_conv.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_nt, _mm_tn
+from vae_assoc_tpu.models.conv import (
+    C2,
+    IMG_SIZE,
+    _FLAT,
+    _SMALL,
+    _dense,
+    _precision,
+)
+
+_K = 3
+
+
+def _lane(n):
+    return max(128, ((n + 127) // 128) * 128)
+
+
+def _sub(n):
+    return ((n + 7) // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# Generic banded primitive: xp3 [B, hp, K] × Ms [G, K, N] → OG × [B, oh, N]
+# plan: static tuple of output groups; each group a tuple of entries
+# (start_row, row_stride ∈ {1,2}, m_index).
+# ---------------------------------------------------------------------------
+
+
+def _select_rows(x, start, stride, oh):
+    tile, hp, k = x.shape
+    if stride == 2:
+        v = x.reshape(tile, hp // 2, 2, k)
+        rows = v[:, start // 2 : start // 2 + oh, start % 2, :]
+    else:
+        rows = x[:, start : start + oh, :]
+    return rows.reshape(tile * oh, k)
+
+
+def _banded_fwd_kernel(plan, oh, cd, nrows, x_ref, m_ref, *o_refs):
+    x = x_ref[:]
+    for og, entries in enumerate(plan):
+        acc = None
+        for start, stride, mi in entries:
+            t = _mm(_select_rows(x, start, stride, oh), m_ref[mi], cd)
+            acc = t if acc is None else acc + t
+        o_refs[og][:] = acc.reshape(x.shape[0], oh, -1)
+
+
+def _embed_rows(contrib, start, stride, oh, hp):
+    """Place [tile, oh, K] rows at absolute rows start + stride·i of a
+    zero [tile, hp, K] — pure pad/stack/reshape (XLA, backward path)."""
+    tile, _, k = contrib.shape
+    if stride == 1:
+        return jnp.pad(contrib, ((0, 0), (start, hp - start - oh), (0, 0)))
+    z = jnp.zeros_like(contrib)
+    pair = (contrib, z) if start % 2 == 0 else (z, contrib)
+    d = jnp.stack(pair, axis=2).reshape(tile, 2 * oh, k)
+    top = 2 * (start // 2)
+    return jnp.pad(d, ((0, 0), (top, hp - top - 2 * oh), (0, 0)))
+
+
+def _banded_bwd_kernel(plan, oh, cd, nrows, x_ref, g_refs_and_outs):
+    n_og = len(plan)
+    g_refs = g_refs_and_outs[:n_og]
+    m_ref = g_refs_and_outs[n_og]
+    dm_ref = g_refs_and_outs[n_og + 1]
+    x = x_ref[:]
+    tile = x.shape[0]
+    ragged = nrows % tile
+    if ragged:
+        from vae_assoc_tpu.kernels.mlp import _row_mask
+
+        valid3 = _row_mask(tile, nrows)[:, :, None]
+        x = jnp.where(valid3, x, 0.0)
+    first = pl.program_id(0) == 0
+    for og, entries in enumerate(plan):
+        g = g_refs[og][:]
+        if ragged:
+            g = jnp.where(valid3, g, 0.0)
+        g2 = g.reshape(tile * oh, -1)
+        for start, stride, mi in entries:
+            rows = _select_rows(x, start, stride, oh)
+            acc = _mm_tn(rows, g2, cd)
+
+            @pl.when(first)
+            def _(mi=mi, acc=acc):
+                dm_ref[mi] = acc
+
+            @pl.when(jnp.logical_not(first))
+            def _(mi=mi, acc=acc):
+                dm_ref[mi] += acc
+
+
+def _tile_for(b, hp, k, n_lanes, m_bytes, n_og, oh, extra_n=3, extra_k=2):
+    """Batch tile under the scoped-VMEM limit. Live per-sample bytes:
+    input block (hp rows of K lanes) + OG output blocks and ~3 matmul/acc
+    temps (oh rows of N lanes) + ~2 reshaped row-selection temps (oh rows
+    of K lanes); 10 MB budget leaves margin for Mosaic SSA copies."""
+    per_row = 4 * (
+        hp * _lane(k)
+        + (n_og + extra_n) * oh * _lane(n_lanes)
+        + extra_k * oh * _lane(k)
+    )
+    budget = 10 * 1024 * 1024 - 2 * m_bytes
+    tile = max(8, min(256, budget // per_row))
+    tile = (tile // 8) * 8
+    if b < tile:
+        t = 8
+        while t < b:
+            t *= 2
+        return t
+    return max(8, tile)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _banded(xp3, ms, plan, oh, cd):
+    return _banded_fwd(xp3, ms, plan, oh, cd)[0]
+
+
+def _banded_fwd(xp3, ms, plan, oh, cd):
+    b, hp, k = xp3.shape
+    g, _, n = ms.shape
+    m_bytes = 4 * g * _sub(k) * _lane(n)
+    tile = _tile_for(b, hp, k, n, m_bytes, len(plan), oh)
+    outs = pl.pallas_call(
+        functools.partial(_banded_fwd_kernel, plan, oh, cd, b),
+        grid=(pl.cdiv(b, tile),),
+        in_specs=[
+            pl.BlockSpec((tile, hp, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((tile, oh, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+            for _ in plan
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((b, oh, n), jnp.float32) for _ in plan
+        ),
+        interpret=_interpret(),
+    )(xp3, ms)
+    return tuple(outs), (xp3, ms)
+
+
+def _banded_bwd(plan, oh, cd, res, gs):
+    xp3, ms = res
+    b, hp, k = xp3.shape
+    g, _, n = ms.shape
+    m_bytes = 4 * g * _sub(k) * _lane(n)
+    tile = _tile_for(b, hp, k, n, 2 * m_bytes, len(plan), oh, extra_n=4, extra_k=3)
+
+    def kern(x_ref, *rest):
+        _banded_bwd_kernel(plan, oh, cd, b, x_ref, rest)
+
+    dm = pl.pallas_call(
+        kern,
+        grid=(pl.cdiv(b, tile),),
+        in_specs=(
+            [pl.BlockSpec((tile, hp, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+            + [
+                pl.BlockSpec((tile, oh, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+                for _ in plan
+            ]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        ),
+        out_specs=pl.BlockSpec((g, k, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, k, n), jnp.float32),
+        interpret=_interpret(),
+    )(xp3, *gs, ms)
+
+    # dx: same banded matmuls against Mᵀ, re-embedded into input rows.
+    # Done in XLA (a [B, oh, N] @ [N, K] einsum per entry + pad/stack adds)
+    # — the matmuls hit the MXU via XLA and fuse with the surrounding
+    # elementwise ops; keeping them out of the kernel spares the kernel a
+    # [tile, hp, K] accumulator and keeps backward tiles large.
+    dx = jnp.zeros_like(xp3)
+    for og, entries in enumerate(plan):
+        g2 = gs[og].astype(jnp.float32)
+        for start, stride, mi in entries:
+            prec = (
+                jax.lax.Precision.HIGHEST
+                if jnp.dtype(cd) == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+            contrib = jnp.einsum(
+                "boN,kN->bok", g2, ms[mi], precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            dx = dx + _embed_rows(contrib, start, stride, oh, hp)
+    return dx, dm
+
+
+_banded.defvjp(_banded_fwd, _banded_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable banded-matrix builders (outer products vs constant bands)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _band_mats_s2(w_img, ow):
+    """Constant 0/1 band matrices B_dx [w_img, ow]: B[2p+dx, p] = 1.
+
+    Taps falling on the right zero-pad column (2p+dx >= w_img) are simply
+    absent -- equivalent to SAME's (0, 1) column padding with nothing
+    materialized."""
+    bs = []
+    for dx in range(_K):
+        b = np.zeros((w_img, ow), np.float32)
+        for p in range(ow):
+            col = 2 * p + dx
+            if col < w_img:
+                b[col, p] = 1.0
+        bs.append(b)
+    return tuple(jnp.asarray(b) for b in bs)
+
+
+@functools.lru_cache(maxsize=32)
+def _band_mats_t2(w_img):
+    """Band matrices for a stride-2 SAME transposed conv on pre-padded
+    cols (wp = w_img + 2): output col p takes tap dx when (p + dx) is
+    even, from padded input col (p + dx - 2)/2 + 1."""
+    ow = 2 * w_img
+    bs = []
+    for dx in range(_K):
+        b = np.zeros((w_img + 2, ow), np.float32)
+        for p in range(ow):
+            if (p + dx) % 2:
+                continue
+            col = (p + dx - 2) // 2 + 1
+            if 0 <= col < w_img + 2:
+                b[col, p] = 1.0
+        bs.append(b)
+    return tuple(jnp.asarray(b) for b in bs)
+
+
+def _build_m(w_hwio, dy, band_mats, cin, cout):
+    """M_dy = sum_dx B_dx (x) w[dy, dx] -- outer products against constant
+    band matrices, i.e. three vectorized broadcast-multiplies. (A
+    scatter-add build was measured at ~1 ms/conv on TPU -- 3x the matmul
+    kernel itself -- and its autodiff emitted gathers; the einsum build
+    differentiates to another einsum, so dw is matmul-fast.)"""
+    m = None
+    for dx in range(_K):
+        t = jnp.einsum("cp,io->cipo", band_mats[dx], w_hwio[dy, dx])
+        m = t if m is None else m + t
+    ncols, ow = band_mats[0].shape
+    return m.reshape(ncols * cin, ow * cout)
+
+
+# ---------------------------------------------------------------------------
+# Layer ops (drop-ins for kernels/conv.py)
+# ---------------------------------------------------------------------------
+
+
+def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
+    """SAME strided conv; matches lax.conv_general_dilated s2 (NHWC/HWIO)."""
+    bsz, h, w_img, cin = x.shape
+    cout = w_hwio.shape[3]
+    oh = ow = h // 2
+    hp = h + 2  # rows pad (0,2): row index 2o+dy ≤ h, and hp even for parity
+    xp = jnp.pad(x, ((0, 0), (0, 2), (0, 0), (0, 0)))
+    xp3 = xp.reshape(bsz, hp, w_img * cin)
+    bands = _band_mats_s2(w_img, ow)
+    ms = jnp.stack([_build_m(w_hwio, dy, bands, cin, cout) for dy in range(_K)])
+    plan = (((0, 2, 0), (1, 2, 1), (2, 2, 2)),)
+    (out,) = _banded(xp3, ms, plan, oh, jnp.dtype(compute_dtype).name)
+    return out.reshape(bsz, oh, ow, cout) + b
+
+
+def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
+    """SAME transposed conv; matches lax.conv_transpose s2 (NHWC/HWIO).
+
+    Output-row-parity decomposition on the undilated input: even output
+    rows 2q sum taps dy∈{0,2} over input rows (q, q+1); odd rows 2q+1
+    take dy=1 at input row q+1 (rows pre-padded by (1,1)).
+    """
+    bsz, h, w_img, cin = x.shape
+    cout = w_hwio.shape[3]
+    oh_total = 2 * h
+    hp = h + 2
+    kk, nn = (w_img + 2) * cin, 2 * w_img * cout  # cols padded (1,1) into K
+    xp3 = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(bsz, hp, kk)
+    bands = _band_mats_t2(w_img)
+    ms = jnp.stack([_build_m(w_hwio, dy, bands, cin, cout) for dy in range(_K)])
+    # Groups: even rows (dy 0 at rows q, dy 2 at rows q+1), odd rows (dy 1
+    # at rows q+1); all stride-1 contiguous row slices of length h.
+    plan = (((0, 1, 0), (1, 1, 2)), ((1, 1, 1),))
+    even, odd = _banded(xp3, ms, plan, h, jnp.dtype(compute_dtype).name)
+    out = jnp.stack([even, odd], axis=2).reshape(bsz, oh_total, nn)
+    return out.reshape(bsz, oh_total, 2 * w_img, cout) + b
+
+
+def encode_conv_fused(params, x, *, compute_dtype=jnp.float32,
+                      transfer=jax.nn.softplus):
+    """Drop-in for models.conv.encode_conv with banded Pallas convs."""
+    prec = _precision(compute_dtype)
+    r = params["recog"]
+    img = x.astype(jnp.float32).reshape(-1, IMG_SIZE, IMG_SIZE, 1)
+    h = transfer(conv3x3_s2(img, r["conv1"]["w"], r["conv1"]["b"],
+                            compute_dtype=compute_dtype))
+    h = transfer(conv3x3_s2(h, r["conv2"]["w"], r["conv2"]["b"],
+                            compute_dtype=compute_dtype))
+    h = transfer(_dense(r["dense"], h.reshape(h.shape[0], _FLAT), prec))
+    return _dense(r["out_mean"], h, prec), _dense(r["out_logvar"], h, prec)
+
+
+def decode_conv_fused(params, z, *, compute_dtype=jnp.float32,
+                      transfer=jax.nn.softplus):
+    """Drop-in for models.conv.decode_conv with banded Pallas convs."""
+    prec = _precision(compute_dtype)
+    g = params["gener"]
+    h = transfer(_dense(g["dense1"], z, prec))
+    h = transfer(_dense(g["dense2"], h, prec))
+    h = h.reshape(-1, _SMALL, _SMALL, C2)
+    h = transfer(convt3x3_s2(h, g["convt1"]["w"], g["convt1"]["b"],
+                             compute_dtype=compute_dtype))
+    h = convt3x3_s2(h, g["convt2"]["w"], g["convt2"]["b"],
+                    compute_dtype=compute_dtype)
+    return h.reshape(h.shape[0], IMG_SIZE * IMG_SIZE)
