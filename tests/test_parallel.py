@@ -164,3 +164,69 @@ def test_mesh_2d_hook():
     mesh = make_mesh(8, model_axis="model", model_parallel=2)
     assert mesh.axis_names == ("data", "model")
     assert mesh.devices.shape == (4, 2)
+
+
+def test_dp_gradient_matches_single_device_megakernel(mesh, rng):
+    """The tower-megakernel loss path (use_pallas='mega') under shard_map:
+    psum'd per-shard gradients == single-device gradient, same global ε.
+    (Off-TPU the megakernel runs in interpret mode — same code path the
+    real lowering compiles.)"""
+    cfg = tiny_cfg()
+    params = assoc_mod.init_assoc(jax.random.key(1), cfg)
+    B = 32
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (B, 24)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 24)).astype(np.float32)),
+    ]
+    eps = [
+        jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32)) for _ in range(2)
+    ]
+
+    def loss(p, xs, eps):
+        return assoc_mod.assoc_loss_fn(p, list(xs), cfg, eps=list(eps),
+                                       use_pallas="mega")[0]
+
+    g_ref = jax.grad(loss)(params, xs, eps)
+
+    def dp_grad(p, xs, eps):
+        g = jax.grad(lambda p: jax.lax.pmean(loss(p, xs, eps), "data"))(p)
+        # Kernel custom-VJPs return per-shard grads (vma still varying):
+        # reduce them exactly as train.step._one_step does.
+        return jax.tree.map(
+            lambda g, p: jax.lax.psum(g, tuple(jax.typeof(g).vma - jax.typeof(p).vma))
+            if jax.typeof(g).vma - jax.typeof(p).vma
+            else g,
+            g,
+            p,
+        )
+
+    g_dp = jax.jit(
+        jax.shard_map(
+            dp_grad,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+        )
+    )(params, xs, eps)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
+def test_dp_step_with_megakernel_learns(mesh, rng):
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=64, use_pallas="mega")
+    state = init_dp_train_state(cfg, tc, mesh)
+    step = make_dp_train_step(cfg, tc, mesh)
+    hist = []
+    for i in range(12):
+        xs = shard_batch(
+            mesh,
+            [
+                rng.uniform(0, 1, (64, 24)).astype(np.float32),
+                rng.normal(size=(64, 24)).astype(np.float32),
+            ],
+        )
+        state, m = step(state, xs)
+        hist.append(float(jax.device_get(m["total"])))
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]

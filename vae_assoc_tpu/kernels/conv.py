@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_tn
+from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_tn, _pvary_like, _sds
 from vae_assoc_tpu.models.conv import (
     C2,
     IMG_SIZE,
@@ -186,7 +186,7 @@ def _conv_fwd_impl(x, w2d, stride, dilate, pads, out_hw, cd):
         ],
         out_specs=pl.BlockSpec((tile, oh, ow, cout), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, oh, ow, cout), jnp.float32),
+        out_shape=_sds((b, oh, ow, cout), jnp.float32, x),
         interpret=_interpret(),
     )(x, w2d)
 
@@ -209,7 +209,7 @@ def _dw_impl(x, dy, stride, dilate, pads, out_hw, cd):
         ],
         out_specs=pl.BlockSpec((9 * cin, cout), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((9 * cin, cout), jnp.float32),
+        out_shape=_sds((9 * cin, cout), jnp.float32, x),
         interpret=_interpret(),
     )(x, dy)
 
@@ -254,7 +254,7 @@ _conv_im2col.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     """SAME strided conv; matches lax.conv_general_dilated s2 in models.conv."""
     cin, cout = w_hwio.shape[2], w_hwio.shape[3]
-    w2d = w_hwio.reshape(_K * _K * cin, cout)
+    (w2d,) = _pvary_like([w_hwio.reshape(_K * _K * cin, cout)], x)
     out_hw = x.shape[1] // 2
     y = _conv_im2col(x, w2d, 2, False, (0, 1), out_hw,
                      jnp.dtype(compute_dtype).name)
@@ -264,7 +264,7 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
 def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     """SAME transposed conv; matches lax.conv_transpose s2 in models.conv."""
     cin, cout = w_hwio.shape[2], w_hwio.shape[3]
-    w2d = w_hwio.reshape(_K * _K * cin, cout)
+    (w2d,) = _pvary_like([w_hwio.reshape(_K * _K * cin, cout)], x)
     out_hw = x.shape[1] * 2
     y = _conv_im2col(x, w2d, 1, True, (2, 1), out_hw,
                      jnp.dtype(compute_dtype).name)

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_nt, _mm_tn
+from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_nt, _mm_tn, _pvary_like, _sds
 from vae_assoc_tpu.models.conv import (
     C2,
     IMG_SIZE,
@@ -182,7 +182,7 @@ def _banded_fwd(xp3, ms, plan, oh, cd):
             for _ in plan
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((b, oh, n), jnp.float32) for _ in plan
+            _sds((b, oh, n), jnp.float32, xp3) for _ in plan
         ),
         interpret=_interpret(),
     )(xp3, ms)
@@ -211,7 +211,7 @@ def _banded_bwd(plan, oh, cd, res, gs):
             + [pl.BlockSpec(memory_space=pltpu.VMEM)]
         ),
         out_specs=pl.BlockSpec((g, k, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, k, n), jnp.float32),
+        out_shape=_sds((g, k, n), jnp.float32, xp3),
         interpret=_interpret(),
     )(xp3, *gs, ms)
 
@@ -303,6 +303,17 @@ def _build_m(w_hwio, dy, band_mats, cin, cout):
 
 def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     """SAME strided conv; matches lax.conv_general_dilated s2 (NHWC/HWIO)."""
+    from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
+
+    if _shardmap_interpret(x):
+        import jax.lax as lax
+
+        from vae_assoc_tpu.models.conv import _DN
+
+        return lax.conv_general_dilated(
+            x, w_hwio, (2, 2), "SAME", dimension_numbers=_DN,
+            precision=_precision(compute_dtype),
+        ) + b
     bsz, h, w_img, cin = x.shape
     cout = w_hwio.shape[3]
     oh = ow = h // 2
@@ -312,6 +323,7 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     bands = _band_mats_s2(w_img, ow)
     ms = jnp.stack([_build_m(w_hwio, dy, bands, cin, cout) for dy in range(_K)])
     plan = (((0, 2, 0), (1, 2, 1), (2, 2, 2)),)
+    (ms,) = _pvary_like([ms], xp3)
     (out,) = _banded(xp3, ms, plan, oh, jnp.dtype(compute_dtype).name)
     return out.reshape(bsz, oh, ow, cout) + b
 
@@ -323,6 +335,17 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     rows 2q sum taps dy∈{0,2} over input rows (q, q+1); odd rows 2q+1
     take dy=1 at input row q+1 (rows pre-padded by (1,1)).
     """
+    from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
+
+    if _shardmap_interpret(x):
+        import jax.lax as lax
+
+        from vae_assoc_tpu.models.conv import _DN
+
+        return lax.conv_transpose(
+            x, w_hwio, (2, 2), "SAME", dimension_numbers=_DN,
+            precision=_precision(compute_dtype),
+        ) + b
     bsz, h, w_img, cin = x.shape
     cout = w_hwio.shape[3]
     oh_total = 2 * h
@@ -334,6 +357,7 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     # Groups: even rows (dy 0 at rows q, dy 2 at rows q+1), odd rows (dy 1
     # at rows q+1); all stride-1 contiguous row slices of length h.
     plan = (((0, 1, 0), (1, 1, 2)), ((1, 1, 1),))
+    (ms,) = _pvary_like([ms], xp3)
     even, odd = _banded(xp3, ms, plan, h, jnp.dtype(compute_dtype).name)
     out = jnp.stack([even, odd], axis=2).reshape(bsz, oh_total, nn)
     return out.reshape(bsz, oh_total, 2 * w_img, cout) + b

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret
+from vae_assoc_tpu.kernels.mlp import _interpret, _sds
 
 
 def _row_sum(x):
@@ -131,6 +131,21 @@ def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
     kinds: tuple of "bernoulli"/"gaussian" per modality (static).
     xs/recons: per-modality [B, D_k]; mus/lvs: per-modality [B, n_z].
     """
+    from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
+
+    if _shardmap_interpret(xs[0]):
+        # shard_map-on-CPU fallback (see kernels.mlp._shardmap_interpret).
+        from vae_assoc_tpu.ops import losses as l
+
+        cols = []
+        for kind, x, r in zip(kinds, xs, recons):
+            if kind == "bernoulli":
+                cols.append(l.bernoulli_recon(x, logits=r))
+            else:
+                cols.append(l.gaussian_recon(x, r))
+        cols += [l.kl_divergence(m, v) for m, v in zip(mus, lvs)]
+        cols.append(l.assoc_loss(list(mus)))
+        return jnp.stack(cols, axis=-1)
     return _loss_fwd(kinds, xs, recons, mus, lvs)[0]
 
 
@@ -144,7 +159,7 @@ def _loss_fwd(kinds, xs, recons, mus, lvs):
         grid=(pl.cdiv(b, tile),),
         in_specs=[_row_spec(tile, a.shape[-1]) for a in args],
         out_specs=_row_spec(tile, 2 * k + 1),
-        out_shape=jax.ShapeDtypeStruct((b, 2 * k + 1), jnp.float32),
+        out_shape=_sds((b, 2 * k + 1), jnp.float32, args[0]),
         interpret=_interpret(),
     )(*args)
     return out, (tuple(args),)
@@ -162,7 +177,7 @@ def _loss_bwd(kinds, res, g):
         _loss_bwd_kernel(kinds, refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :])
 
     out_shapes = tuple(
-        jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in (*recons, *mus, *lvs)
+        _sds(a.shape, jnp.float32, a) for a in (*recons, *mus, *lvs)
     )
     b = xs[0].shape[0]
     tile = _loss_tile(b, args, n_live=6)

@@ -45,6 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_assoc_tpu.kernels.mlp import (
     _encode_fused_bwd,
+    _pvary_like,
+    _sds,
+    _shardmap_interpret,
     _grid,
     _interpret,
     _mm,
@@ -250,11 +253,11 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
             _row_spec(tile, 1), _row_spec(tile, 1),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            _sds((b, n_z), jnp.float32, x),
+            _sds((b, n_z), jnp.float32, x),
+            _sds((b, n_z), jnp.float32, x),
+            _sds((b, 1), jnp.float32, x),
+            _sds((b, 1), jnp.float32, x),
         ),
         interpret=_interpret(),
     )(x, *flat, eps_or_seed)
@@ -277,7 +280,7 @@ def _tower_bwd(kind, cd, res, cts):
     # Stage 1: decoder+loss backward (decoder weights + accumulators only).
     dec_widths = (n_z, dec_flat[0].shape[1], dec_flat[2].shape[1], n_in)
     tile = _vmem_tile(b, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10)
-    dec_shapes = tuple(jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in dec_flat)
+    dec_shapes = tuple(_sds(w.shape, jnp.float32, x) for w in dec_flat)
     dz, *dec_grads = pl.pallas_call(
         functools.partial(_dec_loss_bwd_kernel, cd, kind, b),
         grid=_grid(b, tile),
@@ -291,7 +294,7 @@ def _tower_bwd(kind, cd, res, cts):
             + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
                for s in dec_shapes]
         ),
-        out_shape=tuple([jax.ShapeDtypeStruct((b, n_z), jnp.float32)] + list(dec_shapes)),
+        out_shape=tuple([_sds((b, n_z), jnp.float32, x)] + list(dec_shapes)),
         interpret=_interpret(),
     )(x, z, *dec_flat, grec)
 
@@ -323,7 +326,26 @@ def vae_tower_fused(params, x, *, kind, key=None, eps=None, compute_dtype=jnp.fl
     key degrades to a jax.random draw like kernels/sampling.py), or is
     injected explicitly for parity tests.
     """
-    flat = _flatten(params)
+    if _shardmap_interpret(x):
+        # shard_map-on-CPU fallback: identical math via the jnp path (see
+        # kernels.mlp._shardmap_interpret).
+        from vae_assoc_tpu.models import networks
+        from vae_assoc_tpu.ops import losses
+
+        mu, lv = networks.encode_mlp(params, x, compute_dtype=compute_dtype)
+        if eps is None:
+            if key is None:
+                raise ValueError("vae_tower_fused needs `key` or `eps`")
+            eps = jax.random.normal(key, mu.shape, jnp.float32)
+        z = mu + jnp.exp(0.5 * lv) * eps.astype(jnp.float32)
+        r = networks.decode_mlp(params, z, compute_dtype=compute_dtype)
+        if kind == "bernoulli":
+            rec = losses.bernoulli_recon(x, logits=r)
+        else:
+            rec = losses.gaussian_recon(x, r)
+        return {"mu": mu, "lv": lv, "recon_term": rec,
+                "kl_term": losses.kl_divergence(mu, lv)}
+    flat = tuple(_pvary_like(_flatten(params), x))
     if eps is None:
         if key is None:
             raise ValueError("vae_tower_fused needs `key` or `eps`")

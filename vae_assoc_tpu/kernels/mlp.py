@@ -37,6 +37,46 @@ def _interpret() -> bool:
     return _INTERPRET or jax.default_backend() != "tpu"
 
 
+def _shardmap_interpret(x) -> bool:
+    """True when running the interpret fallback *inside* shard_map: the
+    Pallas HLO interpreter evaluates kernel bodies under vma typing, where
+    in-kernel literals (vma-invariant) cannot mix with varying operands.
+    Wrappers then route to their identical-math jnp implementations — the
+    kernel bodies are parity-tested separately, and the real Mosaic
+    lowering only vma-checks the pallas_call boundary (handled by _sds +
+    _pvary_like)."""
+    return _interpret() and bool(jax.typeof(x).vma)
+
+
+def _pvary_like(arrs, like):
+    """Promote mesh-invariant arrays to `like`'s varying-across-axes type.
+
+    Under `shard_map(check_vma=True)` a kernel mixing a varying batch with
+    invariant weights fails vma checking (no auto-promotion inside
+    pallas_call). `jax.lax.pvary`'s transpose is `psum`, so applying it
+    *outside* the kernels' custom_vjp also makes the weight-grad cotangents
+    come back globally reduced with no hand-written collective."""
+    want = jax.typeof(like).vma
+    if not want:
+        return list(arrs)
+    out = []
+    for a in arrs:
+        missing = tuple(want - jax.typeof(a).vma)
+        out.append(jax.lax.pvary(a, missing) if missing else a)
+    return out
+
+
+def _sds(shape, dtype, like):
+    """ShapeDtypeStruct that propagates `like`'s varying-across-mesh-axes
+    type (vma). Under `shard_map(check_vma=True)` (the jax 0.9 default)
+    pallas_call outputs must declare their vma explicitly — kernel outputs
+    vary exactly as their batch input does, so we copy it."""
+    vma = jax.typeof(like).vma
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 def _bwd_tile_limit(b: int) -> int:
     """Backward batch-tile limit. The backward kernels hold weights + grad
     accumulators + rematerialized activations in VMEM; a ragged batch adds
@@ -210,8 +250,8 @@ def _encode_fused_fwd(flat, x, cd):
         in_specs=[_tile_spec(tile, n_in)] + _full_specs(8),
         out_specs=(_tile_spec(tile, n_z), _tile_spec(tile, n_z)),
         out_shape=(
-            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_z), jnp.float32),
+            _sds((b, n_z), jnp.float32, x),
+            _sds((b, n_z), jnp.float32, x),
         ),
         interpret=_interpret(),
     )(x, *flat)
@@ -224,7 +264,7 @@ def _encode_fused_bwd(cd, res, cts):
     b, n_in = x.shape
     tile = _batch_tile(b, limit=_bwd_tile_limit(b))
     n_z = flat[4].shape[1]
-    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
+    w_shapes = [_sds(w.shape, jnp.float32, x) for w in flat]
     dx, *dflat = pl.pallas_call(
         functools.partial(_enc_bwd_kernel, cd, b),
         grid=_grid(b, tile),
@@ -235,7 +275,7 @@ def _encode_fused_bwd(cd, res, cts):
             [_tile_spec(tile, n_in)]
             + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for s in w_shapes]
         ),
-        out_shape=tuple([jax.ShapeDtypeStruct((b, n_in), jnp.float32)] + w_shapes),
+        out_shape=tuple([_sds((b, n_in), jnp.float32, x)] + w_shapes),
         interpret=_interpret(),
     )(x, *flat, dmu, dlv)
     return tuple(dflat), dx
@@ -246,7 +286,13 @@ _encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
 
 def encode_mlp_fused(params, x, *, compute_dtype=jnp.float32, transfer=None):
     """Drop-in for `networks.encode_mlp`, fused on TPU. softplus only."""
-    flat = _enc_flat(params)
+    if _shardmap_interpret(x):
+        from vae_assoc_tpu.models import networks
+
+        return networks.encode_mlp(
+            params, x, compute_dtype=compute_dtype, transfer=jax.nn.softplus
+        )
+    flat = tuple(_pvary_like(_enc_flat(params), x))
     mu, lv = _encode_fused(flat, x.astype(jnp.float32), jnp.dtype(compute_dtype).name)
     return mu, lv
 
@@ -324,7 +370,7 @@ def _decode_fused_fwd(flat, z, cd):
         grid=_grid(b, tile),
         in_specs=[_tile_spec(tile, n_z)] + _full_specs(6),
         out_specs=_tile_spec(tile, n_out),
-        out_shape=jax.ShapeDtypeStruct((b, n_out), jnp.float32),
+        out_shape=_sds((b, n_out), jnp.float32, z),
         interpret=_interpret(),
     )(z, *flat)
     return out, (flat, z)
@@ -335,7 +381,7 @@ def _decode_fused_bwd(cd, res, dout):
     b, n_z = z.shape
     n_out = flat[4].shape[1]
     tile = _batch_tile(b, limit=_bwd_tile_limit(b))
-    w_shapes = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in flat]
+    w_shapes = [_sds(w.shape, jnp.float32, z) for w in flat]
     dz, *dflat = pl.pallas_call(
         functools.partial(_dec_bwd_kernel, cd, b),
         grid=_grid(b, tile),
@@ -344,7 +390,7 @@ def _decode_fused_bwd(cd, res, dout):
             [_tile_spec(tile, n_z)]
             + [pl.BlockSpec(s.shape, lambda i: (0, 0), memory_space=pltpu.VMEM) for s in w_shapes]
         ),
-        out_shape=tuple([jax.ShapeDtypeStruct((b, n_z), jnp.float32)] + w_shapes),
+        out_shape=tuple([_sds((b, n_z), jnp.float32, z)] + w_shapes),
         interpret=_interpret(),
     )(z, *flat, dout)
     return tuple(dflat), dz
@@ -355,5 +401,11 @@ _decode_fused.defvjp(_decode_fused_fwd, _decode_fused_bwd)
 
 def decode_mlp_fused(params, z, *, compute_dtype=jnp.float32, transfer=None):
     """Drop-in for `networks.decode_mlp`, fused on TPU. softplus only."""
-    flat = _dec_flat(params)
+    if _shardmap_interpret(z):
+        from vae_assoc_tpu.models import networks
+
+        return networks.decode_mlp(
+            params, z, compute_dtype=compute_dtype, transfer=jax.nn.softplus
+        )
+    flat = tuple(_pvary_like(_dec_flat(params), z))
     return _decode_fused(flat, z.astype(jnp.float32), jnp.dtype(compute_dtype).name)

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret
+from vae_assoc_tpu.kernels.mlp import _interpret, _sds
 
 _TWO_PI = 6.283185307179586
 
@@ -69,8 +69,8 @@ def _sample_impl(z_mean, z_logvar, seed):
         in_specs=[row, row, pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=(row, row),
         out_shape=(
-            jax.ShapeDtypeStruct(z_mean.shape, jnp.float32),
-            jax.ShapeDtypeStruct(z_mean.shape, jnp.float32),
+            _sds(z_mean.shape, jnp.float32, z_mean),
+            _sds(z_mean.shape, jnp.float32, z_mean),
         ),
         interpret=_interpret(),
     )(z_mean.astype(jnp.float32), z_logvar.astype(jnp.float32), seed)

@@ -75,6 +75,17 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
 
     grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
     if axis_name is not None:
+        # Pallas custom-VJP kernels return *per-shard* weight grads whose
+        # vma still varies over the mesh (a hand-written bwd can't know the
+        # axis to reduce over); the jnp path's grads arrive already reduced
+        # by the vma-typed transpose of the loss pmean. Reduce exactly the
+        # leaves that still vary — XLA's all-reduce combiner coalesces the
+        # per-leaf psums into one fused collective over ICI.
+        def _reduce_to_param_vma(g, p):
+            extra = tuple(jax.typeof(g).vma - jax.typeof(p).vma)
+            return jax.lax.psum(g, extra) if extra else g
+
+        grads = jax.tree.map(_reduce_to_param_vma, grads, state.params)
         # Metrics are shard-local; average them so the logged loss equals
         # the global-batch loss.
         metrics = jax.lax.pmean(metrics, axis_name)
