@@ -12,6 +12,15 @@ from vae_assoc_tpu.parallel.dp import (
     init_dp_train_state,
     dp_train_loop,
 )
+from vae_assoc_tpu.parallel.tp import (
+    tp_param_specs,
+    shard_params,
+    shard_tp_batch,
+    shard_tp_train_state,
+    make_tp_train_step,
+    init_tp_train_state,
+    tp_train_loop,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,4 +33,11 @@ __all__ = [
     "make_dp_train_step",
     "init_dp_train_state",
     "dp_train_loop",
+    "tp_param_specs",
+    "shard_params",
+    "shard_tp_batch",
+    "shard_tp_train_state",
+    "make_tp_train_step",
+    "init_tp_train_state",
+    "tp_train_loop",
 ]

@@ -100,13 +100,51 @@ def dp_train_loop(
     divisible by the mesh size), sharded onto the mesh, and consumed in
     `steps_per_call` stacks. Returns (state, history).
     """
+    if state is None:
+        state = init_dp_train_state(cfg, tc, mesh)
+    step_fn = make_dp_train_step(cfg, tc, mesh)
+    return _epoch_loop(
+        cfg,
+        tc,
+        data,
+        mesh,
+        step_fn,
+        state,
+        shard_fn=mesh_mod.shard_batch,
+        n_batch_dev=mesh.devices.size,
+        epochs=epochs,
+        display_step=display_step,
+        on_metrics=on_metrics,
+        shuffle=shuffle,
+    )
+
+
+def _epoch_loop(
+    cfg: AssocConfig,
+    tc: TrainConfig,
+    data: Sequence[np.ndarray],
+    mesh: Mesh,
+    step_fn,
+    state: TrainState,
+    *,
+    shard_fn,
+    n_batch_dev: int,
+    epochs: int,
+    display_step: int,
+    on_metrics,
+    shuffle: bool,
+):
+    """Shared host-side epoch driver for the sharded steps (DP and DP×TP).
+
+    `n_batch_dev` is the number of mesh slots the batch dim shards over —
+    the full mesh for pure DP, the `data` axis extent for DP×TP.
+    """
     import time
 
     n = data[0].shape[0]
-    n_dev = mesh.devices.size
     bs = tc.batch_size
-    if bs % n_dev:
-        raise ValueError(f"global batch {bs} not divisible by {n_dev} devices")
+    if bs % n_batch_dev:
+        raise ValueError(f"global batch {bs} not divisible by {n_batch_dev} devices")
     nb = n // bs
     spc = tc.steps_per_call
     n_calls = nb // spc
@@ -114,10 +152,7 @@ def dp_train_loop(
         raise ValueError(
             f"dataset of {n} rows gives {nb} batches/epoch < steps_per_call={spc}"
         )
-
-    if state is None:
-        state = init_dp_train_state(cfg, tc, mesh)
-    step_fn = make_dp_train_step(cfg, tc, mesh)
+    n_dev = mesh.devices.size
     rng = np.random.default_rng(tc.seed)
 
     history = []
@@ -132,7 +167,7 @@ def dp_train_loop(
                 xs = [d[sel].reshape(spc, bs, d.shape[-1]) for d in data]
             else:
                 xs = [d[sel] for d in data]
-            xs = mesh_mod.shard_batch(mesh, xs, leading_scan_axis=spc > 1)
+            xs = shard_fn(mesh, xs, leading_scan_axis=spc > 1)
             state, metrics = step_fn(state, xs)
             metrics_acc.append(metrics)
         metrics_acc = jax.device_get(metrics_acc)

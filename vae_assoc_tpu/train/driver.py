@@ -64,6 +64,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="data-parallel shard_map over an N-device mesh "
                         "(default: all devices for --config 5 on multi-"
                         "device hosts, otherwise single-device)")
+    p.add_argument("--model-parallel", type=int, default=1, metavar="K",
+                   help="tensor-parallel factor: with --mesh N, train over "
+                        "a 2-D (N/K, K) (data, model) mesh with Megatron-"
+                        "style GSPMD weight shardings (parallel/tp.py)")
     return p
 
 
@@ -133,13 +137,30 @@ def main(argv=None) -> int:
     if n_mesh is None and args.config == 5 and len(jax.devices()) > 1:
         n_mesh = len(jax.devices())
     mesh = None
+    mp = args.model_parallel
     if n_mesh is not None and n_mesh > 1:
         if args.fused:
             raise SystemExit("--fused and --mesh are mutually exclusive")
-        from vae_assoc_tpu.parallel import make_mesh, replicate, dp_train_loop
+        from vae_assoc_tpu.parallel import (
+            dp_train_loop,
+            make_mesh,
+            replicate,
+            tp_train_loop,
+        )
+        from vae_assoc_tpu.parallel.tp import shard_tp_train_state
 
-        mesh = make_mesh(n_mesh)
-        print(f"data-parallel over {n_mesh} devices", flush=True)
+        if mp > 1:
+            if args.use_pallas:
+                raise SystemExit("--model-parallel runs the jnp model path "
+                                 "(no --use-pallas)")
+            mesh = make_mesh(n_mesh, model_axis="model", model_parallel=mp)
+            print(f"data×tensor parallel over a {n_mesh // mp}x{mp} "
+                  "(data, model) mesh", flush=True)
+        else:
+            mesh = make_mesh(n_mesh)
+            print(f"data-parallel over {n_mesh} devices", flush=True)
+    elif mp > 1:
+        raise SystemExit("--model-parallel requires --mesh N with N > 1")
 
     state = init_train_state(cfg, tc)
     if args.resume:
@@ -148,12 +169,17 @@ def main(argv=None) -> int:
         state = ckpt.restore(args.ckpt_dir, state)
         print(f"resumed from step {int(state.step)}", flush=True)
     if mesh is not None:
-        state = replicate(mesh, state)
+        if mp > 1:
+            state = shard_tp_train_state(mesh, state, cfg, tc)
+        else:
+            state = replicate(mesh, state)
 
     log = MetricsLogger(args.metrics, echo=True)
 
     def run(state, epochs):
         if mesh is not None:
+            if mp > 1:
+                return tp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
