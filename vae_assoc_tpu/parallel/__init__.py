@@ -12,6 +12,13 @@ from vae_assoc_tpu.parallel.dp import (
     init_dp_train_state,
     dp_train_loop,
 )
+from vae_assoc_tpu.parallel.fsdp import (
+    fsdp_param_specs,
+    shard_fsdp_train_state,
+    make_fsdp_train_step,
+    init_fsdp_train_state,
+    fsdp_train_loop,
+)
 from vae_assoc_tpu.parallel.tp import (
     tp_param_specs,
     shard_params,
@@ -33,6 +40,11 @@ __all__ = [
     "make_dp_train_step",
     "init_dp_train_state",
     "dp_train_loop",
+    "fsdp_param_specs",
+    "shard_fsdp_train_state",
+    "make_fsdp_train_step",
+    "init_fsdp_train_state",
+    "fsdp_train_loop",
     "tp_param_specs",
     "shard_params",
     "shard_tp_batch",

@@ -1,0 +1,176 @@
+"""Fully-sharded data parallelism (ZeRO-style) over the 1-D `('data',)` mesh.
+
+Plain DP (`parallel/dp.py`) replicates parameters and optimizer state on
+every chip — the right call for the reference's tiny MLPs, and the config-5
+production path. FSDP is the framework's answer when users scale the arch
+dicts to the point where a full replica of {params, Adam mu, Adam nu}
+(3× param bytes, fp32) no longer fits each chip's HBM: shard all three
+over the *same* data axis the batch already shards over, and let XLA
+all-gather each weight just-in-time for its matmul and reduce-scatter its
+gradient back to the owning shard. Per-chip state memory drops by the mesh
+size; the collectives ride ICI.
+
+Like `parallel/tp.py`, this is pure GSPMD — shardings on the existing
+pytrees, zero model-code changes, the partitioner provably preserving
+semantics. Each weight matrix shards the largest dim the mesh size divides
+evenly (stored jax.Arrays require equal shards; leaves with no divisible
+dim stay replicated — see `fsdp_param_specs`); biases and the tiny
+opt-state scalars stay replicated (sharding a [500] vector over 8 chips
+saves nothing and costs a collective). Adam's moments are laid out
+explicitly like the weights they track — `zeros_like` constants carry no
+data-flow edge, so propagation cannot infer them (see
+`tp.shard_opt_state_like`).
+
+DP vs FSDP is a two-line swap:
+
+    state  = init_fsdp_train_state(cfg, tc, mesh)   # vs init_dp_train_state
+    step   = make_fsdp_train_step(cfg, tc, mesh)    # vs make_dp_train_step
+
+same mesh, same `shard_batch` inputs, same metrics contract. CLI:
+`driver --mesh N --fsdp`.
+
+Verified (tests/test_fsdp.py, 8-virtual-device CPU mesh): 3-step training
+trajectory equals the single-device step; every weight/moment shard is a
+disjoint 1/8 slice; shardings survive the step; the compiled step HLO
+contains gather/reduce collectives; the epoch loop learns.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from vae_assoc_tpu.configs import AssocConfig, TrainConfig
+from vae_assoc_tpu.parallel import mesh as mesh_mod
+from vae_assoc_tpu.parallel.tp import shard_train_state_like
+from vae_assoc_tpu.train.step import TrainState, init_train_state, make_train_step
+
+
+def fsdp_param_specs(
+    cfg: AssocConfig, n_shards: int, axis: str = mesh_mod.DATA_AXIS
+) -> dict:
+    """PartitionSpec pytree matching `models.assoc.init_assoc`'s params:
+    every weight matrix sharded over `axis` on its largest dim that
+    `n_shards` divides evenly, biases replicated.
+
+    Divisibility is a hard constraint for *stored* arrays (a concrete
+    jax.Array's shards must be equal-shaped; only in-program intermediates
+    may be padded by GSPMD), so a weight with no divisible dim falls back
+    to replication for that leaf — correctness is unaffected, it just
+    keeps a full copy. Users scaling arch dicts for FSDP should size
+    hidden/latent dims as multiples of the mesh size (512 rather than 500)
+    to shard every layer.
+    """
+
+    def lin(n_in: int, n_out: int) -> dict:
+        for d in sorted((0, 1), key=lambda d: (n_in, n_out)[d], reverse=True):
+            if (n_in, n_out)[d] % n_shards == 0:
+                return {"w": P(axis, None) if d == 0 else P(None, axis), "b": P()}
+        return {"w": P(), "b": P()}
+
+    def tower(arch) -> dict:
+        n_in, n_z = arch["n_input"], arch["n_z"]
+        r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
+        g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+        return {
+            "recog": {
+                "h1": lin(n_in, r1),
+                "h2": lin(r1, r2),
+                "out_mean": lin(r2, n_z),
+                "out_logvar": lin(r2, n_z),
+            },
+            "gener": {"h1": lin(n_z, g1), "h2": lin(g1, g2), "out": lin(g2, n_in)},
+        }
+
+    return {"modalities": tuple(tower(m.arch) for m in cfg.modalities)}
+
+
+def _check_fsdp(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
+    if mesh_mod.DATA_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"FSDP shards over the '{mesh_mod.DATA_AXIS}' axis; mesh has "
+            f"{mesh.axis_names}"
+        )
+    if tc.use_pallas:
+        raise ValueError(
+            "FSDP runs the jnp model path: Pallas kernels consume whole "
+            "(per-shard) arrays and cannot consume fan-in-sharded weights. "
+            "Use TrainConfig(use_pallas=False) with FSDP."
+        )
+    from vae_assoc_tpu.parallel.tp import _check_mlp_encoders
+
+    _check_mlp_encoders(cfg, "FSDP")
+
+
+def shard_fsdp_train_state(
+    mesh: Mesh, state: TrainState, cfg: AssocConfig, tc: TrainConfig
+) -> TrainState:
+    """Re-lay an existing TrainState (fresh or checkpoint-restored) onto the
+    mesh with FSDP specs: weights + Adam moments sharded, step/rng/biases
+    replicated."""
+    _check_fsdp(mesh, tc, cfg)
+    n = int(mesh.shape[mesh_mod.DATA_AXIS])
+    return shard_train_state_like(mesh, state, fsdp_param_specs(cfg, n))
+
+
+def init_fsdp_train_state(
+    cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, key=None
+) -> TrainState:
+    _check_fsdp(mesh, tc, cfg)
+    n = int(mesh.shape[mesh_mod.DATA_AXIS])
+    return shard_train_state_like(
+        mesh, init_train_state(cfg, tc, key), fsdp_param_specs(cfg, n)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def make_fsdp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh):
+    """Build the FSDP train step: the plain single-device step body jitted
+    with donated FSDP-sharded state — GSPMD inserts the just-in-time weight
+    all-gathers (forward and backward) and the gradient reduce-scatters.
+    Same contract as `make_dp_train_step`; batches via `mesh.shard_batch`."""
+    _check_fsdp(mesh, tc, cfg)
+    base = make_train_step(cfg, tc, jit=False)
+
+    def step_fn(state: TrainState, xs):
+        return base(state, list(xs))
+
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def fsdp_train_loop(
+    cfg: AssocConfig,
+    tc: TrainConfig,
+    data: Sequence,
+    mesh: Mesh,
+    *,
+    epochs: int = 10,
+    state: TrainState | None = None,
+    display_step: int = 1,
+    on_metrics=None,
+    shuffle: bool = True,
+):
+    """Epoch driver for the FSDP step — `parallel.dp.dp_train_loop` with the
+    sharded-state step swapped in."""
+    from vae_assoc_tpu.parallel.dp import _epoch_loop
+
+    if state is None:
+        state = init_fsdp_train_state(cfg, tc, mesh)
+    step_fn = make_fsdp_train_step(cfg, tc, mesh)
+    return _epoch_loop(
+        cfg,
+        tc,
+        data,
+        mesh,
+        step_fn,
+        state,
+        shard_fn=mesh_mod.shard_batch,
+        n_batch_dev=int(mesh.shape[mesh_mod.DATA_AXIS]),
+        epochs=epochs,
+        display_step=display_step,
+        on_metrics=on_metrics,
+        shuffle=shuffle,
+    )

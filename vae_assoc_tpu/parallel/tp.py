@@ -96,7 +96,19 @@ def shard_params(mesh: Mesh, params: dict, cfg: AssocConfig) -> dict:
     )
 
 
-def _check_tp_mesh(mesh: Mesh, tc: TrainConfig) -> None:
+def _check_mlp_encoders(cfg: AssocConfig, what: str) -> None:
+    """The GSPMD spec trees mirror the MLP param structure; conv towers have
+    a different tree (conv1/conv2/dense/...) and no sharding rules yet."""
+    bad = [m.name for m in cfg.modalities if m.encoder != "mlp"]
+    if bad:
+        raise ValueError(
+            f"{what} sharding specs only cover encoder='mlp' modalities; "
+            f"got non-MLP encoders for {bad}"
+        )
+
+
+def _check_tp_mesh(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
+    _check_mlp_encoders(cfg, "TP")
     if mesh_mod.MODEL_AXIS not in mesh.axis_names:
         raise ValueError(
             f"TP needs a mesh with a '{mesh_mod.MODEL_AXIS}' axis — build one "
@@ -111,8 +123,9 @@ def _check_tp_mesh(mesh: Mesh, tc: TrainConfig) -> None:
         )
 
 
-def _shard_opt_state(mesh: Mesh, opt_state, cfg: AssocConfig):
-    """Lay Adam's mu/nu out exactly like the params they track.
+def shard_opt_state_like(mesh: Mesh, opt_state, specs: dict):
+    """Lay Adam's mu/nu out exactly like the params they track (`specs` is a
+    PartitionSpec pytree matching the param tree).
 
     This must be explicit: optimizer moments are `zeros_like` constants with
     no data-flow edge from the sharded params, so XLA's sharding propagation
@@ -121,7 +134,6 @@ def _shard_opt_state(mesh: Mesh, opt_state, cfg: AssocConfig):
     state is ``(ScaleByAdamState(count, mu, nu), EmptyState())`` with mu/nu
     mirroring the param tree.
     """
-    specs = tp_param_specs(cfg)
     repl = NamedSharding(mesh, P())
 
     def like_params(tree):
@@ -138,27 +150,38 @@ def _shard_opt_state(mesh: Mesh, opt_state, cfg: AssocConfig):
     return (adam, *(jax.device_put(r, repl) for r in rest))
 
 
+def shard_train_state_like(mesh: Mesh, state: TrainState, specs: dict) -> TrainState:
+    """Re-lay an existing TrainState (fresh or checkpoint-restored) onto
+    `mesh` with `specs` on the params (and matching opt-state layout),
+    replicated step/rng. Shared by the TP and FSDP layouts."""
+    repl = NamedSharding(mesh, P())
+    params = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state.params, specs
+    )
+    return TrainState(
+        jax.device_put(state.step, repl),
+        params,
+        shard_opt_state_like(mesh, state.opt_state, specs),
+        jax.device_put(state.rng, repl),
+    )
+
+
 def shard_tp_train_state(
     mesh: Mesh, state: TrainState, cfg: AssocConfig, tc: TrainConfig
 ) -> TrainState:
     """Re-lay an existing TrainState (fresh or checkpoint-restored) onto a
     TP mesh: Megatron specs on params, matching layout on Adam's moments,
     replicated step/rng."""
-    _check_tp_mesh(mesh, tc)
-    repl = NamedSharding(mesh, P())
-    return TrainState(
-        jax.device_put(state.step, repl),
-        shard_params(mesh, state.params, cfg),
-        _shard_opt_state(mesh, state.opt_state, cfg),
-        jax.device_put(state.rng, repl),
-    )
+    _check_tp_mesh(mesh, tc, cfg)
+    return shard_train_state_like(mesh, state, tp_param_specs(cfg))
 
 
 def init_tp_train_state(
     cfg: AssocConfig, tc: TrainConfig, mesh: Mesh, key=None
 ) -> TrainState:
     """TrainState with TP-sharded params and matching-sharded opt state."""
-    return shard_tp_train_state(mesh, init_train_state(cfg, tc, key), cfg, tc)
+    _check_tp_mesh(mesh, tc, cfg)
+    return shard_train_state_like(mesh, init_train_state(cfg, tc, key), tp_param_specs(cfg))
 
 
 @functools.lru_cache(maxsize=64)
@@ -174,7 +197,7 @@ def make_tp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh):
     GSPMD inserts the model-axis all-reduces (forward+backward) and the
     data-axis gradient all-reduce.
     """
-    _check_tp_mesh(mesh, tc)
+    _check_tp_mesh(mesh, tc, cfg)
     base = make_train_step(cfg, tc, jit=False)
 
     def step_fn(state: TrainState, xs):

@@ -68,6 +68,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="tensor-parallel factor: with --mesh N, train over "
                         "a 2-D (N/K, K) (data, model) mesh with Megatron-"
                         "style GSPMD weight shardings (parallel/tp.py)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --mesh N, shard params + optimizer state over "
+                        "the data axis (ZeRO-style, parallel/fsdp.py) "
+                        "instead of replicating them")
     return p
 
 
@@ -143,12 +147,17 @@ def main(argv=None) -> int:
             raise SystemExit("--fused and --mesh are mutually exclusive")
         from vae_assoc_tpu.parallel import (
             dp_train_loop,
+            fsdp_train_loop,
             make_mesh,
             replicate,
+            shard_fsdp_train_state,
             tp_train_loop,
         )
         from vae_assoc_tpu.parallel.tp import shard_tp_train_state
 
+        if mp > 1 and args.fsdp:
+            raise SystemExit("--model-parallel and --fsdp are mutually "
+                             "exclusive layouts")
         if mp > 1:
             if args.use_pallas:
                 raise SystemExit("--model-parallel runs the jnp model path "
@@ -156,11 +165,18 @@ def main(argv=None) -> int:
             mesh = make_mesh(n_mesh, model_axis="model", model_parallel=mp)
             print(f"data×tensor parallel over a {n_mesh // mp}x{mp} "
                   "(data, model) mesh", flush=True)
+        elif args.fsdp:
+            if args.use_pallas:
+                raise SystemExit("--fsdp runs the jnp model path "
+                                 "(no --use-pallas)")
+            mesh = make_mesh(n_mesh)
+            print(f"fully-sharded data-parallel over {n_mesh} devices",
+                  flush=True)
         else:
             mesh = make_mesh(n_mesh)
             print(f"data-parallel over {n_mesh} devices", flush=True)
-    elif mp > 1:
-        raise SystemExit("--model-parallel requires --mesh N with N > 1")
+    elif mp > 1 or args.fsdp:
+        raise SystemExit("--model-parallel/--fsdp require --mesh N with N > 1")
 
     state = init_train_state(cfg, tc)
     if args.resume:
@@ -171,6 +187,8 @@ def main(argv=None) -> int:
     if mesh is not None:
         if mp > 1:
             state = shard_tp_train_state(mesh, state, cfg, tc)
+        elif args.fsdp:
+            state = shard_fsdp_train_state(mesh, state, cfg, tc)
         else:
             state = replicate(mesh, state)
 
@@ -180,6 +198,8 @@ def main(argv=None) -> int:
         if mesh is not None:
             if mp > 1:
                 return tp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
+            if args.fsdp:
+                return fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
