@@ -55,6 +55,25 @@ def test_metrics_logger_roundtrip(tmp_path):
     assert recs[1]["total"] == 10.0 and recs[1]["note"] == "ok"
 
 
+def test_metrics_logger_tensorboard_tee(tmp_path):
+    tf = pytest.importorskip("tensorflow")
+    tb = str(tmp_path / "tb")
+    with MetricsLogger(str(tmp_path / "m.jsonl"), tensorboard_dir=tb) as log:
+        log.write(epoch=0, total=12.5)
+        log.write(epoch=1, total=10.0, note="ok")  # non-scalars skipped
+    import glob
+    events = glob.glob(tb + "/events.out.tfevents.*")
+    assert events, "no TB event file written"
+    seen = {}
+    for path in events:
+        for ev in tf.compat.v1.train.summary_iterator(path):
+            for v in ev.summary.value:
+                seen[(ev.step, v.tag)] = tf.make_ndarray(v.tensor).item()
+    assert seen[(0, "total")] == 12.5
+    assert seen[(1, "total")] == 10.0
+    assert all(tag != "note" for _, tag in seen)
+
+
 def test_viz_figures(rng):
     pytest.importorskip("matplotlib")
     from vae_assoc_tpu.utils import viz

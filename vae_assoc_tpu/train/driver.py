@@ -53,6 +53,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint from --ckpt-dir")
     p.add_argument("--metrics", default=None, help="metrics JSONL path")
+    p.add_argument("--tensorboard", default=None, metavar="DIR",
+                   help="also write TensorBoard scalar event files to DIR")
     p.add_argument("--plots-dir", default=None,
                    help="write post-train eval plots here")
     p.add_argument("--profile-epochs", type=int, default=0,
@@ -192,7 +194,7 @@ def main(argv=None) -> int:
         else:
             state = replicate(mesh, state)
 
-    log = MetricsLogger(args.metrics, echo=True)
+    log = MetricsLogger(args.metrics, echo=True, tensorboard_dir=args.tensorboard)
 
     def run(state, epochs):
         if mesh is not None:
