@@ -39,16 +39,16 @@ def xla_t2(x, w):
 
 cases = [
     ("conv1 28x28x1->14x14x32 ", (B,28,28,1), (3,3,1,32), xla_s2,
-     lambda x,w: kconv.conv3x3_s2(x, w, jnp.zeros((32,), jnp.float32)),
+     lambda x,w: kconv.conv3x3_s2(x, w, jnp.zeros((32,), jnp.float32), compute_dtype=jnp.bfloat16),
      lambda x,w: cb.conv3x3_s2(x, w, jnp.zeros((32,), jnp.float32), compute_dtype=jnp.bfloat16)),
     ("conv2 14x14x32->7x7x64  ", (B,14,14,32), (3,3,32,64), xla_s2,
-     lambda x,w: kconv.conv3x3_s2(x, w, jnp.zeros((64,), jnp.float32)),
+     lambda x,w: kconv.conv3x3_s2(x, w, jnp.zeros((64,), jnp.float32), compute_dtype=jnp.bfloat16),
      lambda x,w: cb.conv3x3_s2(x, w, jnp.zeros((64,), jnp.float32), compute_dtype=jnp.bfloat16)),
     ("convt1 7x7x64->14x14x32 ", (B,7,7,64), (3,3,64,32), xla_t2,
-     lambda x,w: kconv.convt3x3_s2(x, w, jnp.zeros((32,), jnp.float32)),
+     lambda x,w: kconv.convt3x3_s2(x, w, jnp.zeros((32,), jnp.float32), compute_dtype=jnp.bfloat16),
      lambda x,w: cb.convt3x3_s2(x, w, jnp.zeros((32,), jnp.float32), compute_dtype=jnp.bfloat16)),
     ("convt2 14x14x32->28x28x1", (B,14,14,32), (3,3,32,1), xla_t2,
-     lambda x,w: kconv.convt3x3_s2(x, w, jnp.zeros((1,), jnp.float32)),
+     lambda x,w: kconv.convt3x3_s2(x, w, jnp.zeros((1,), jnp.float32), compute_dtype=jnp.bfloat16),
      lambda x,w: cb.convt3x3_s2(x, w, jnp.zeros((1,), jnp.float32), compute_dtype=jnp.bfloat16)),
 ]
 print(f"batch {B}, {N} serial convs; ms per conv fwd (best of 5)")

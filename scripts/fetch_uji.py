@@ -60,15 +60,24 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         raise SystemExit(1 if last_err else 0)
-    sha = hashlib.sha256(data).hexdigest()
-    with open(out, "wb") as f:
-        f.write(data)
-    print(f"cached {len(data)} bytes to {out}\nsha256: {sha}")
-    # Sanity-parse before declaring success.
+    # Sanity-parse BEFORE caching: a 200-status HTML error page (common from
+    # the UCI mirror) must not become a sticky "already cached" success that
+    # later feeds `--data uji` an empty dataset.
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from vae_assoc_tpu.data.uji import parse_uji_text
 
     n = len(parse_uji_text(data.decode("utf-8", errors="replace")))
+    if n == 0:
+        print(
+            "Downloaded content parsed to 0 UJI samples (error page or "
+            "format change?) — not caching it.",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    sha = hashlib.sha256(data).hexdigest()
+    with open(out, "wb") as f:
+        f.write(data)
+    print(f"cached {len(data)} bytes to {out}\nsha256: {sha}")
     print(f"parsed {n} character samples")
     return 0
 

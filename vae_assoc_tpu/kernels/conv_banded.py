@@ -46,7 +46,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_nt, _mm_tn, _pvary_like, _sds
+from vae_assoc_tpu.kernels.mlp import (
+    _interpret,
+    _lane,
+    _mm,
+    _mm_nt,
+    _mm_tn,
+    _pow2_tile,
+    _pvary_like,
+    _sds,
+)
 from vae_assoc_tpu.models.conv import (
     C2,
     IMG_SIZE,
@@ -57,10 +66,6 @@ from vae_assoc_tpu.models.conv import (
 )
 
 _K = 3
-
-
-def _lane(n):
-    return max(128, ((n + 127) // 128) * 128)
 
 
 def _sub(n):
@@ -153,10 +158,7 @@ def _tile_for(b, hp, k, n_lanes, m_bytes, n_og, oh, extra_n=3, extra_k=2):
     tile = max(8, min(256, budget // per_row))
     tile = (tile // 8) * 8
     if b < tile:
-        t = 8
-        while t < b:
-            t *= 2
-        return t
+        return _pow2_tile(b)
     return max(8, tile)
 
 

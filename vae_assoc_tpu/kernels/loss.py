@@ -67,7 +67,10 @@ def _loss_kernel(kinds, *refs):
 
 def _loss_bwd_kernel(kinds, refs, douts):
     """refs: (g_ref, xs…, recons…, mus…, lvs…);
-    douts: (dxs…, drecons…, dmus…, dlvs…).
+    douts: (drecons…, dmus…, dlvs…) — the kernel's output refs. The input
+    cotangents dxs are NOT kernel outputs: `_loss_bwd` derives them in XLA
+    from drecons after the pallas_call (they are elementwise in drecons and
+    fuse there for free).
 
     g_ref is the [B, n_terms] cotangent of the per-sample loss matrix.
     """

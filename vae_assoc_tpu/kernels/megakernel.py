@@ -45,6 +45,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vae_assoc_tpu.kernels.mlp import (
     _encode_fused_bwd,
+    _full_specs,
+    _lane,
+    _pow2_tile,
     _pvary_like,
     _sds,
     _shardmap_interpret,
@@ -55,16 +58,13 @@ from vae_assoc_tpu.kernels.mlp import (
     _mm_tn,
     _row_mask,
     _softplus,
+    _tile_spec as _row_spec,
 )
 from vae_assoc_tpu.kernels.sampling import _normal_bits
 
 
 def _rowsum(x):
     return jnp.sum(x, axis=-1, keepdims=True)
-
-
-def _lane(w: int) -> int:
-    return max(128, ((w + 127) // 128) * 128)
 
 
 def _vmem_tile(b: int, weight_bytes: int, widest: int, n_live: int) -> int:
@@ -76,10 +76,7 @@ def _vmem_tile(b: int, weight_bytes: int, widest: int, n_live: int) -> int:
     tile = max(8, min(256, budget // per_row))
     tile = (tile // 8) * 8
     if b < tile:
-        t = 8
-        while t < b:
-            t *= 2
-        return t
+        return _pow2_tile(b)
     return max(8, tile)
 
 
@@ -212,14 +209,6 @@ def unflatten_grads(flat_grads):
             "out": {"w": ddo, "b": dco[0]},
         },
     }
-
-
-def _row_spec(tile, ncols):
-    return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
-
-def _full_specs(n):
-    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
 
 
 def _widths(flat, n_in):

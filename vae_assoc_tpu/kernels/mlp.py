@@ -87,6 +87,21 @@ def _bwd_tile_limit(b: int) -> int:
     return 256 if b % 256 == 0 else 128
 
 
+def _lane(n: int) -> int:
+    """Lane-padded width: TPU vector memory tiles the minor dim to 128."""
+    return max(128, ((n + 127) // 128) * 128)
+
+
+def _pow2_tile(b: int) -> int:
+    """Smallest power-of-two tile ≥ b (min 8) — the whole-batch tile used
+    when the batch is smaller than the computed tile limit. Shared by every
+    kernel's tile sizing (mlp/megakernel/conv_banded)."""
+    t = 8
+    while t < b:
+        t *= 2
+    return t
+
+
 def _batch_tile(b: int, limit: int = 256) -> int:
     """Batch tile ≤ limit, always a multiple of 8 (Mosaic requires the
     sublane dim of a block divisible by 8 unless it equals the array dim).
@@ -96,10 +111,7 @@ def _batch_tile(b: int, limit: int = 256) -> int:
     VMEM tile."""
     if b >= limit:
         return max(8, (limit // 8) * 8)
-    t = 8
-    while t < b:
-        t *= 2
-    return t
+    return _pow2_tile(b)
 
 
 def _grid(b: int, tile: int) -> tuple:
