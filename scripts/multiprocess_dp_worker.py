@@ -1,0 +1,95 @@
+"""Multi-process DP worker: one JAX process of a multi-controller run.
+
+Validates the multi-host path (SURVEY.md §5 "Distributed communication
+backend") without a cluster: N processes × 4 virtual CPU devices each,
+`jax.distributed.initialize` + Gloo cross-process collectives, the
+2-level `('replica', 'data')` mesh from `make_multihost_mesh`, and the
+production `make_dp_train_step` with `batch_axes=("replica", "data")` —
+gradient sync spans BOTH mesh levels (the DCN leg on real pods) in one
+logical pmean. Launched by tests/test_multiprocess.py; runnable by hand:
+
+    python scripts/multiprocess_dp_worker.py <proc> <nproc> <port>
+
+Prints one `METRICS <proc> <step> <total>` line per step; the launcher
+asserts the losses are identical across processes and match a
+single-process run of the same mesh shape on the same global batch.
+"""
+
+import sys
+
+import jax
+
+
+def main(proc: int, nproc: int, port: str) -> int:
+    # Device provisioning must precede any device query (same constraint as
+    # __graft_entry__._ensure_n_devices).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    jax.distributed.initialize(
+        f"localhost:{port}", num_processes=nproc, process_id=proc
+    )
+    assert jax.process_count() == nproc, jax.process_count()
+
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig, TrainConfig
+    from vae_assoc_tpu.parallel import make_dp_train_step, make_multihost_mesh
+    from vae_assoc_tpu.train.step import init_train_state
+
+    arch = dict(
+        n_input=24,
+        n_z=4,
+        n_hidden_recog_1=16,
+        n_hidden_recog_2=16,
+        n_hidden_gener_1=16,
+        n_hidden_gener_2=16,
+    )
+    cfg = AssocConfig(
+        [
+            ModalityConfig("image", arch, recon="bernoulli"),
+            ModalityConfig("trajectory", dict(arch), recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+    n_dev = nproc * 4
+    tc = TrainConfig(batch_size=4 * n_dev, learning_rate=1e-3)
+
+    mesh = make_multihost_mesh()  # (nproc, 4) ('replica', 'data')
+    assert mesh.devices.shape == (nproc, 4), mesh.devices.shape
+    batch_axes = ("replica", "data")
+
+    # Replicated state: computed under jit (global arrays work across
+    # processes when jit-produced; host device_put cannot reach
+    # non-addressable devices).
+    state = jax.jit(
+        lambda: init_train_state(cfg, tc), out_shardings=NamedSharding(mesh, P())
+    )()
+    step_fn = make_dp_train_step(cfg, tc, mesh, batch_axes=batch_axes)
+
+    rng = np.random.default_rng(7)  # same stream in every process
+    spec = NamedSharding(mesh, P(batch_axes))
+    rows_here = tc.batch_size // nproc
+    lo = proc * rows_here
+    for step in range(3):
+        x_img = rng.uniform(0, 1, (tc.batch_size, 24)).astype(np.float32)
+        x_traj = rng.normal(size=(tc.batch_size, 24)).astype(np.float32)
+        xs = tuple(
+            jax.make_array_from_process_local_data(spec, d[lo : lo + rows_here])
+            for d in (x_img, x_traj)
+        )
+        state, metrics = step_fn(state, xs)
+        total = float(jax.device_get(metrics["total"]))
+        print(f"METRICS {proc} {step} {total:.6f}", flush=True)
+
+    # Params stay replicated: every addressable shard of a weight is equal.
+    w = state.params["modalities"][0]["recog"]["h1"]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    print(f"DONE {proc}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]))

@@ -119,3 +119,37 @@ def test_driver_mesh_flag_runs_dp(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "data-parallel over 4 devices" in out.stdout
+
+
+def test_driver_model_parallel_flag_runs_tp(tmp_path):
+    """--mesh 4 --model-parallel 2 drives the DP x TP GSPMD loop."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "2", "--mesh", "4",
+         "--model-parallel", "2"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "(data, model) mesh" in out.stdout
+
+
+def test_driver_fsdp_flag_runs_fsdp(tmp_path):
+    """--mesh 4 --fsdp drives the ZeRO-style sharded-state loop."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "2", "--mesh", "4", "--fsdp"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "fully-sharded data-parallel over 4 devices" in out.stdout
+
