@@ -21,7 +21,8 @@ def test_driver_config2_runs(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
          "--config", "2", "--data", "synthetic", "--n-samples", "128",
-         "--batch-size", "32", "--epochs", "1"],
+         "--batch-size", "32", "--epochs", "1",
+         "--plots-dir", str(tmp_path / "plots")],
         capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
@@ -145,3 +146,70 @@ def test_save_model_is_self_describing(rng, tmp_path):
     )
     with pytest.raises(FileNotFoundError, match="model_config"):
         vat.AssocVariationalAutoEncoder.load("/tmp/nope-nope-nope")
+
+
+def test_single_modality_load_roundtrip(rng, tmp_path):
+    """VariationalAutoencoder.load must work (round-2 review): the inherited
+    classmethod reconstructs via cls([], model_config=...)."""
+    m = vat.VariationalAutoencoder(TINY, batch_size=8)
+    m.partial_fit(rng.uniform(0, 1, (8, 24)).astype(np.float32))
+    m.save_model(str(tmp_path / "ck"))
+    m2 = vat.VariationalAutoencoder.load(str(tmp_path / "ck"))
+    assert isinstance(m2, vat.VariationalAutoencoder)
+    x = rng.uniform(0, 1, (4, 24)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(m.reconstruct(x)), np.asarray(m2.reconstruct(x)), rtol=1e-6
+    )
+    # And the single-modality verb signature survives: plain arrays, no lists.
+    assert np.asarray(m2.transform(x)).shape == (4, 4)
+
+
+def test_serve_modality_names_hit_warm_compile_cache(rng):
+    """String modality names must normalize to indices BEFORE the jit call,
+    or a warmed server pays a fresh compile per name spelling."""
+    from vae_assoc_tpu.serve import Predictor
+
+    m = vat.AssocVariationalAutoEncoder(
+        [TINY, dict(TINY)], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"], batch_size=8,
+    )
+    pred = Predictor.from_model(m)
+    x = rng.uniform(0, 1, (8, 24)).astype(np.float32)
+    pred.cross_generate(x, 0, 1)
+    n_compiles = pred._cross._cache_size()
+    out_named = pred.cross_generate(x, "image", "trajectory")
+    assert pred._cross._cache_size() == n_compiles, "string names recompiled"
+    np.testing.assert_array_equal(out_named, pred.cross_generate(x, 0, 1))
+    pred.generate(np.zeros((4, 4), np.float32), 1)
+    n_compiles = pred._generate._cache_size()
+    pred.generate(np.zeros((4, 4), np.float32), "trajectory")
+    assert pred._generate._cache_size() == n_compiles
+
+
+def test_chunked_training_does_not_replay_shuffle(rng, monkeypatch):
+    """Round-2 review: each train_loop chunk must advance the shuffle
+    stream (seeded with (seed, start_step)), not replay the seed-0
+    permutations."""
+    from vae_assoc_tpu.train.loop import train_loop
+    from vae_assoc_tpu.train.step import init_train_state
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
+
+    seeds = []
+    real_default_rng = np.random.default_rng
+
+    def spy(seed=None):
+        seeds.append(seed)
+        return real_default_rng(seed)
+
+    monkeypatch.setattr(np.random, "default_rng", spy)
+
+    cfg = AssocConfig([ModalityConfig("image", TINY)], assoc_lambda=0.0)
+    tc = TrainConfig(batch_size=16)
+    data = [rng.uniform(0, 1, (64, 24)).astype(np.float32)]
+    state = init_train_state(cfg, tc)
+    state, _ = train_loop(cfg, tc, data, epochs=1, state=state)
+    state, _ = train_loop(cfg, tc, data, epochs=1, state=state)
+    chunk_seeds = [s for s in seeds if isinstance(s, list)]
+    assert len(chunk_seeds) == 2 and chunk_seeds[0] != chunk_seeds[1], chunk_seeds
+    # Same (seed, start_step) -> same stream: what makes kill/resume exact.
+    assert chunk_seeds[0] == [tc.seed, 0] and chunk_seeds[1][1] > 0, chunk_seeds

@@ -271,7 +271,7 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
 
     def __init__(
         self,
-        network_architecture: Mapping[str, int],
+        network_architecture: Optional[Mapping[str, int]] = None,
         *,
         recon_type: str = "bernoulli",
         transfer_fct: str = "softplus",
@@ -279,7 +279,25 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
         batch_size: int = 64,
         seed: int = 0,
         train_config: Optional[TrainConfig] = None,
+        model_config: Optional[AssocConfig] = None,
     ):
+        if model_config is not None:
+            # The inherited classmethod `load()` reconstructs via
+            # cls([], model_config=..., train_config=...) — accept that
+            # spelling here too so the save_model/load round-trip works for
+            # the single-modality subclass.
+            if len(model_config.modalities) != 1:
+                raise ValueError(
+                    "VariationalAutoencoder is single-modality; the saved "
+                    f"config has {len(model_config.modalities)} modalities "
+                    "— use AssocVariationalAutoEncoder.load()"
+                )
+            super().__init__(
+                [], model_config=model_config, train_config=train_config
+            )
+            return
+        if network_architecture is None:
+            raise ValueError("network_architecture is required")
         super().__init__(
             [network_architecture],
             recon_types=[recon_type],

@@ -153,7 +153,10 @@ def _epoch_loop(
             f"dataset of {n} rows gives {nb} batches/epoch < steps_per_call={spc}"
         )
     n_dev = mesh.devices.size
-    rng = np.random.default_rng(tc.seed)
+    # Chunk-offset-aware shuffle stream (see train.loop.train_loop):
+    # deterministic in (seed, start_step), no permutation replay across
+    # checkpoint-chunked calls or resumes.
+    rng = np.random.default_rng([tc.seed, int(jax.device_get(state.step))])
 
     history = []
     for epoch in range(epochs):

@@ -137,6 +137,11 @@ class Predictor:
 
     def generate(self, z, modality: Union[int, str]):
         zp, n = self._pad(np.asarray(z))
+        # Normalize names → indices BEFORE the jit call: modality is a
+        # static arg, so "image" and 0 would otherwise compile (and cache)
+        # separately — a warmed-up server would still pay a fresh XLA
+        # compile on the first name-addressed request.
+        modality = self.cfg.modality_index(modality)
         return np.asarray(self._generate(self.params, zp, modality=modality))[:n]
 
     def reconstruct(self, x, modality: Union[int, str]):
@@ -145,6 +150,8 @@ class Predictor:
 
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
         xp, n = self._pad(np.asarray(x))
+        src = self.cfg.modality_index(src)  # see generate(): names → indices
+        dst = self.cfg.modality_index(dst)
         return np.asarray(self._cross(self.params, xp, src=src, dst=dst))[:n]
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:

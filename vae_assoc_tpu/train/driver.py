@@ -251,16 +251,21 @@ def main(argv=None) -> int:
         from vae_assoc_tpu.models import assoc as assoc_mod
         from vae_assoc_tpu.utils import viz
 
+        # The image-grid plots assume modality 0 is the 28x28 image branch;
+        # config 2 is trajectory-only, where reshaping 200-dim features to
+        # 28x28 would crash after the whole run.
+        has_image_0 = cfg.modalities[0].arch["n_input"] == 784
         imgs = np.asarray(eval_xs[0][:8])
-        recon = np.asarray(
-            assoc_mod.cross_generate(
-                state.params, eval_xs[0][:8], cfg, src=0, dst=0,
-                compute_dtype=tc.compute_dtype,
+        if has_image_0:
+            recon = np.asarray(
+                assoc_mod.cross_generate(
+                    state.params, eval_xs[0][:8], cfg, src=0, dst=0,
+                    compute_dtype=tc.compute_dtype,
+                )
             )
-        )
-        viz.reconstruction_grid(imgs, recon).savefig(
-            os.path.join(args.plots_dir, "reconstructions.png"), dpi=120
-        )
+            viz.reconstruction_grid(imgs, recon).savefig(
+                os.path.join(args.plots_dir, "reconstructions.png"), dpi=120
+            )
         zs = assoc_mod.transform(
             state.params, eval_xs, cfg, compute_dtype=tc.compute_dtype
         )
@@ -270,7 +275,7 @@ def main(argv=None) -> int:
         viz.latent_scatter(np.asarray(zs[0]), labels).savefig(
             os.path.join(args.plots_dir, "latent_scatter.png"), dpi=120
         )
-        if k >= 2:
+        if k >= 2 and has_image_0:
             gen_traj = np.asarray(
                 assoc_mod.cross_generate(
                     state.params, eval_xs[0][:8], cfg, src=0, dst=1,

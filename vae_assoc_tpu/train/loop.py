@@ -31,6 +31,23 @@ def _batches_per_epoch(n_samples: int, batch_size: int) -> int:
     return n_samples // batch_size  # drop remainder, as the reference does
 
 
+@functools.lru_cache(maxsize=64)
+def _gather_epoch_fn(n_calls: int, spc: int, bs: int):
+    """Cached jitted epoch gather: perm + staged arrays → [n_calls, spc, bs, D]
+    stacks. Module-level cache so chunked training (one train_loop call per
+    checkpoint interval) reuses the compiled gather instead of re-tracing a
+    fresh closure every call."""
+
+    @jax.jit
+    def gather(perm, *arrays):
+        used = n_calls * spc * bs
+        return tuple(
+            a[perm[:used]].reshape(n_calls, spc, bs, a.shape[-1]) for a in arrays
+        )
+
+    return gather
+
+
 def train_loop(
     cfg: AssocConfig,
     tc: TrainConfig,
@@ -70,14 +87,15 @@ def train_loop(
     # Stage the full dataset into HBM once; per-epoch shuffles are
     # device-side gathers — no per-batch host→device feed_dict copies.
     dev_data = [jax.device_put(jnp.asarray(d)) for d in data]
-    shuffle_rng = np.random.default_rng(tc.seed)
-
-    @jax.jit
-    def gather_epoch(perm, *arrays):
-        used = n_calls * spc * bs
-        return tuple(
-            a[perm[:used]].reshape(n_calls, spc, bs, a.shape[-1]) for a in arrays
-        )
+    # Fold training progress into the shuffle stream: a chunked run (the
+    # driver calls train_loop once per checkpoint interval) or a resumed one
+    # must NOT replay the same permutation sequence every chunk. Seeding
+    # with (seed, start_step) keeps runs deterministic AND chunk-offset
+    # aware — and keeps kill/resume reproducibility, since checkpoints land
+    # on chunk boundaries (same start_step → same continuation stream).
+    start_step = int(jax.device_get(state.step))
+    shuffle_rng = np.random.default_rng([tc.seed, start_step])
+    gather_epoch = _gather_epoch_fn(n_calls, spc, bs)
 
     history = []
     for epoch in range(epochs):
@@ -177,7 +195,12 @@ def train_loop_fused(
     if state is None:
         state = init_train_state(cfg, tc)
     dev_data = tuple(jax.device_put(jnp.asarray(d)) for d in data)
-    shuffle_key = jax.random.key(np.uint32(tc.seed) ^ np.uint32(0x5EED))
+    # Chunk-offset-aware shuffle stream (see train_loop): deterministic in
+    # (seed, start_step), no permutation replay across chunks/resumes.
+    shuffle_key = jax.random.fold_in(
+        jax.random.key(np.uint32(tc.seed) ^ np.uint32(0x5EED)),
+        int(jax.device_get(state.step)),
+    )
 
     run = _fused_runner(cfg, tc, steps, shuffle)
     # The first (cfg, tc, shapes, epochs) combination pays compilation
