@@ -119,11 +119,8 @@ def tf_train_and_eval(imgs, trajs, epochs, batch_size=64, seed=0, lr=1e-3,
 
 
 def ours_train_and_eval(imgs, trajs, epochs, batch_size=64, seed=0):
-    import jax.numpy as jnp
-
     from vae_assoc_tpu.configs import baseline_config
     from vae_assoc_tpu.train import evaluate, train_loop_fused
-    from vae_assoc_tpu.train.step import init_train_state
 
     cfg, tc = baseline_config(3, batch_size=batch_size, seed=seed)
     t0 = time.perf_counter()

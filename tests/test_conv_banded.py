@@ -105,3 +105,19 @@ def test_conv_pallas_encoder_trains(rng):
         state, m = step(state, xs)
         hist.append(float(m["total"]))
     assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+def test_band_mats_cache_safe_when_first_built_inside_jit(rng):
+    """The lru-cached band matrices must never capture a trace's tracers:
+    first use inside jit, then outside — order-dependent
+    UnexpectedTracerError regression (caught by a reversed-order run)."""
+    cb._band_mats_s2.cache_clear()
+    cb._band_mats_t2.cache_clear()
+    x = jnp.asarray(rng.normal(size=(8, 28, 28, 1)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 1, 8)) * 0.1).astype(np.float32))
+    b = jnp.zeros((8,), jnp.float32)
+    out1 = jax.jit(lambda x, w, b: cb.conv3x3_s2(x, w, b))(x, w, b)
+    out2 = cb.conv3x3_s2(x, w, b)
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), rtol=1e-5, atol=1e-5
+    )

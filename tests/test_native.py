@@ -81,3 +81,22 @@ def test_prepared_pickle_roundtrip(uji_file, tmp_path):
     back = uji.load_prepared(p)
     np.testing.assert_array_equal(back["points"], data["points"])
     assert back["label_names"] == data["label_names"]
+
+
+def test_native_empty_file_matches_python(uji_file, tmp_path):
+    """A comments-only file is a VALID empty parse (Python returns []);
+    the native parser must agree instead of erroring — otherwise one such
+    file silently kicks a whole multi-file load off the native path
+    (round-2 review finding)."""
+    if not native.available():
+        pytest.skip("no native toolchain")
+    empty = os.path.join(tmp_path, "comments_only.txt")
+    with open(empty, "w") as f:
+        f.write("// UJI v2 comments only\n//\n")
+    r = native.parse_uji_file_native(empty, 64)
+    assert r["points"].shape == (0, 64, 2) and list(r["names"]) == []
+    both = uji.load_uji_files([uji_file, empty], native="always")
+    ref = uji.load_uji_files([uji_file, empty], native="never")
+    np.testing.assert_array_equal(both["points"], ref["points"])
+    np.testing.assert_array_equal(both["lengths"], ref["lengths"])
+    assert both["label_names"] == ref["label_names"]

@@ -213,3 +213,42 @@ def test_chunked_training_does_not_replay_shuffle(rng, monkeypatch):
     assert len(chunk_seeds) == 2 and chunk_seeds[0] != chunk_seeds[1], chunk_seeds
     # Same (seed, start_step) -> same stream: what makes kill/resume exact.
     assert chunk_seeds[0] == [tc.seed, 0] and chunk_seeds[1][1] > 0, chunk_seeds
+
+
+def test_reconstruction_grid_single_sample_and_mismatched_rows(rng):
+    pytest.importorskip("matplotlib")
+    from vae_assoc_tpu.utils import viz
+
+    x = rng.uniform(0, 1, (1, 784)).astype(np.float32)
+    fig = viz.reconstruction_grid(x, x)  # n=1: axes come back 1-D
+    assert fig is not None
+    x8 = rng.uniform(0, 1, (8, 784)).astype(np.float32)
+    fig = viz.reconstruction_grid(x8, x8[:4])  # recon shorter than input
+    assert fig is not None
+
+
+def test_mega_path_falls_back_for_non_mlp_or_non_softplus(rng):
+    """use_pallas='mega' with a conv or tanh modality must route through
+    the composable path (which itself falls back), not crash in the
+    MLP-only megakernel (round-2 review finding)."""
+    import jax
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
+    from vae_assoc_tpu.models import assoc as assoc_mod
+
+    conv_arch = dict(TINY, n_input=784)
+    for mod in (
+        ModalityConfig("image", conv_arch, encoder="conv"),
+        ModalityConfig("image", TINY, transfer="tanh"),
+    ):
+        cfg = AssocConfig([mod], assoc_lambda=0.0)
+        params = assoc_mod.init_assoc(jax.random.key(0), cfg)
+        x = rng.uniform(0, 1, (8, mod.arch["n_input"])).astype(np.float32)
+        total_mega, _ = assoc_mod.assoc_loss_fn(
+            params, [x], cfg, key=jax.random.key(1), use_pallas="mega"
+        )
+        total_ref, _ = assoc_mod.assoc_loss_fn(
+            params, [x], cfg, key=jax.random.key(1), use_pallas=False
+        )
+        np.testing.assert_allclose(
+            float(total_mega), float(total_ref), rtol=1e-5
+        )

@@ -253,7 +253,12 @@ def _band_mats_s2(w_img, ow):
 
     Taps falling on the right zero-pad column (2p+dx >= w_img) are simply
     absent -- equivalent to SAME's (0, 1) column padding with nothing
-    materialized."""
+    materialized.
+
+    Returns NUMPY arrays: the lru_cache must never hold jnp values — a
+    first call inside a jit trace would cache that trace's tracers and
+    poison every later trace (UnexpectedTracerError; order-dependent).
+    jnp conversion happens at use as a per-trace constant (tiny)."""
     bs = []
     for dx in range(_K):
         b = np.zeros((w_img, ow), np.float32)
@@ -262,14 +267,15 @@ def _band_mats_s2(w_img, ow):
             if col < w_img:
                 b[col, p] = 1.0
         bs.append(b)
-    return tuple(jnp.asarray(b) for b in bs)
+    return tuple(bs)
 
 
 @functools.lru_cache(maxsize=32)
 def _band_mats_t2(w_img):
     """Band matrices for a stride-2 SAME transposed conv on pre-padded
     cols (wp = w_img + 2): output col p takes tap dx when (p + dx) is
-    even, from padded input col (p + dx - 2)/2 + 1."""
+    even, from padded input col (p + dx - 2)/2 + 1. Returns NUMPY arrays —
+    see _band_mats_s2 on why the cache must never hold jnp values."""
     ow = 2 * w_img
     bs = []
     for dx in range(_K):
@@ -281,7 +287,7 @@ def _band_mats_t2(w_img):
             if 0 <= col < w_img + 2:
                 b[col, p] = 1.0
         bs.append(b)
-    return tuple(jnp.asarray(b) for b in bs)
+    return tuple(bs)
 
 
 def _build_m(w_hwio, dy, band_mats, cin, cout):

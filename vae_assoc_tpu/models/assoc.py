@@ -86,9 +86,18 @@ def assoc_loss_fn(
     "Metrics"): total, per-modality recon/kl, and the association term.
     """
     if use_pallas == "mega" and not parity_mode:
-        return _assoc_loss_mega(
-            params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype
-        )
+        # The tower megakernel implements the MLP/softplus tower only.
+        # Mirror vae._net_fns' fallback semantics: a conv modality or a
+        # non-softplus transfer routes the whole loss through the
+        # composable-kernel path, which itself falls back per modality.
+        if all(
+            m.encoder == "mlp" and m.transfer == "softplus"
+            for m in cfg.modalities
+        ):
+            return _assoc_loss_mega(
+                params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype
+            )
+        use_pallas = True
     outs = assoc_forward(
         params,
         xs,

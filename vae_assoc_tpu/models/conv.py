@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vae_assoc_tpu.models.networks import xavier_uniform
+from vae_assoc_tpu.models import networks as networks_mod
 
 IMG_SIZE = 28
 C1 = 32
@@ -37,12 +37,12 @@ _FLAT = _SMALL * _SMALL * C2  # 3136
 _DN = ("NHWC", "HWIO", "NHWC")
 
 
-def _precision(compute_dtype):
-    return (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+# Single-source policy/helpers from networks.py (review round 2: three
+# near-identical precision/linear copies risked silent numeric divergence
+# between the conv and MLP towers).
+_precision = networks_mod.matmul_precision
+_dense = networks_mod.linear_with_precision
+_dense_init = networks_mod._init_linear
 
 
 def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
@@ -50,13 +50,6 @@ def _conv_init(key, kh, kw, cin, cout, dtype=jnp.float32):
     a = jnp.sqrt(6.0 / (fan_in + fan_out)).astype(dtype)
     w = jax.random.uniform(key, (kh, kw, cin, cout), dtype, -a, a)
     return {"w": w, "b": jnp.zeros((cout,), dtype)}
-
-
-def _dense_init(key, n_in, n_out, dtype=jnp.float32):
-    return {
-        "w": xavier_uniform(key, n_in, n_out, dtype),
-        "b": jnp.zeros((n_out,), dtype),
-    }
 
 
 def init_conv_vae_params(key: jax.Array, arch, dtype=jnp.float32) -> dict:
@@ -82,14 +75,6 @@ def init_conv_vae_params(key: jax.Array, arch, dtype=jnp.float32) -> dict:
             "convt2": _conv_init(ks[8], 3, 3, C1, 1, dtype),
         },
     }
-
-
-def _dense(p, x, prec):
-    y = jnp.dot(
-        x.astype(jnp.float32), p["w"], precision=prec,
-        preferred_element_type=jnp.float32,
-    )
-    return y + p["b"]
 
 
 def encode_conv(params, x, *, compute_dtype=jnp.float32, transfer=jax.nn.softplus):

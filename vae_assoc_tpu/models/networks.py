@@ -63,6 +63,30 @@ def init_mlp_vae_params(key: jax.Array, arch: dict, dtype=jnp.float32) -> dict:
     }
 
 
+def matmul_precision(compute_dtype):
+    """THE matmul precision policy, single source (reused by the conv
+    towers in models/conv.py and kernels/conv*.py): fp32 compute_dtype →
+    ``HIGHEST`` (true fp32 multiplies, parity-grade numerics); anything
+    else → ``DEFAULT`` (bf16 multiply passes with fp32 accumulation — the
+    bf16-matmul policy of BASELINE.json:11)."""
+    return (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(compute_dtype) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+
+def linear_with_precision(p, x, precision):
+    """x @ w + b at an explicit matmul precision, fp32 accumulation."""
+    y = jnp.dot(
+        x.astype(jnp.float32),
+        p["w"],
+        precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return y + p["b"]
+
+
 def _linear(p, x, compute_dtype):
     """x @ w + b with fp32 accumulation; output fp32.
 
@@ -75,18 +99,7 @@ def _linear(p, x, compute_dtype):
     2.4M samples/s on v5e). fp32 compute_dtype requests ``HIGHEST``
     (true fp32 multiplies) for parity-grade numerics.
     """
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(compute_dtype) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    y = jnp.dot(
-        x.astype(jnp.float32),
-        p["w"],
-        precision=precision,
-        preferred_element_type=jnp.float32,
-    )
-    return y + p["b"]
+    return linear_with_precision(p, x, matmul_precision(compute_dtype))
 
 
 def encode_mlp(params: dict, x, *, compute_dtype=jnp.float32, transfer=jax.nn.softplus):

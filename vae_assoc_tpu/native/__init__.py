@@ -88,6 +88,14 @@ def parse_uji_file_native(path: str, max_points: int = 256) -> dict:
         if r.error:
             raise ValueError(r.error.decode())
         n = r.n_samples
+        if n == 0:
+            # Valid empty parse (comments-only file): mirror the Python
+            # parser's [] without dereferencing the (possibly NULL) buffers.
+            return {
+                "points": np.zeros((0, max_points, 2), np.float32),
+                "lengths": np.zeros((0,), np.int32),
+                "names": [],
+            }
         pts = np.ctypeslib.as_array(r.points, shape=(n, max_points, 2)).copy()
         lengths = np.ctypeslib.as_array(r.lengths, shape=(n,)).copy()
         names = r.names.decode().split("\n") if r.names_len else []

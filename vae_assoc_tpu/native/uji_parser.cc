@@ -87,7 +87,9 @@ UjiParse* uji_parse_file(const char* path, int32_t max_points) {
     // NUMSTROKES and anything else: ignored, as in the Python parser.
   }
   if (have_word && !cur.xy.empty()) samples.push_back(cur);
-  if (samples.empty()) return fail(r, "no samples parsed");
+  // Zero samples (e.g. comments-only file) is a VALID empty result, exactly
+  // as the Python parser returns [] — not an error. The ctypes wrapper
+  // short-circuits n_samples == 0 without touching the data pointers.
 
   int32_t n = (int32_t)samples.size();
   r->n_samples = n;

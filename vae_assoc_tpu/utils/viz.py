@@ -28,9 +28,11 @@ def reconstruction_grid(x, x_recon, *, image_size: int = 28, n: int = 8):
     plt = _plt()
     x = np.asarray(x)[:n]
     r = np.asarray(x_recon)[:n]
-    n = x.shape[0]
+    n = min(x.shape[0], r.shape[0])  # tolerate mismatched row counts
     fig, axes = plt.subplots(2, n, figsize=(1.2 * n, 2.6))
-    axes = np.atleast_2d(axes)
+    # n == 1 gives a shape-(2,) axes vector; reshape (not atleast_2d, which
+    # would make it (1, 2) and break axes[1, 0]).
+    axes = np.asarray(axes).reshape(2, n)
     for i in range(n):
         for row, img in ((0, x[i]), (1, r[i])):
             ax = axes[row, i]
