@@ -116,3 +116,56 @@ def test_stream_train_learns(rng):
     assert float(np.mean([h["total"] for h in history[-4:]])) < float(
         np.mean([h["total"] for h in history[:4]])
     )
+
+
+def test_microbatcher_matches_direct_and_coalesces(model, rng):
+    """Concurrent 1-row requests must coalesce into few device calls and
+    return exactly the direct Predictor results, per request, in order."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    n = 48
+    xs = [rng.uniform(0, 1, (1, 24)).astype(np.float32) for _ in range(n)]
+    direct = [pred.cross_generate(x, "image", "trajectory") for x in xs]
+
+    with MicroBatcher(pred, max_wait_ms=60.0) as mb:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            futs = list(ex.map(
+                lambda x: mb.submit(x, "image", "trajectory"), xs
+            ))
+        outs = [f.result(timeout=30) for f in futs]
+    # Bucketed [48, D] vs per-request [1, D] runs are different XLA
+    # programs; fp32 matmul splits differ at the last-ulp level.
+    for got, want in zip(outs, direct):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+    assert mb.dispatches < n, f"no coalescing: {mb.dispatches} calls for {n}"
+
+
+def test_microbatcher_routes_and_chunking(model, rng):
+    """Mixed (src, dst) routes batch separately; oversize loads split; a
+    request bigger than max_batch is rejected loudly."""
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    with MicroBatcher(pred, max_batch=8, max_wait_ms=40.0) as mb:
+        a = rng.uniform(0, 1, (3, 24)).astype(np.float32)
+        b = rng.normal(size=(5, 24)).astype(np.float32)
+        f1 = mb.submit(a, "image", "trajectory")
+        f2 = mb.submit(b, "trajectory", "image")
+        f3 = mb.submit(a, 0, 1)  # same route as f1, index spelling
+        np.testing.assert_allclose(
+            f1.result(timeout=30), pred.cross_generate(a, 0, 1),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            f2.result(timeout=30), pred.cross_generate(b, 1, 0),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            f3.result(timeout=30), pred.cross_generate(a, 0, 1),
+            rtol=1e-4, atol=1e-6,
+        )
+        with pytest.raises(ValueError, match="max_batch"):
+            mb.submit(rng.uniform(0, 1, (9, 24)).astype(np.float32), 0, 1)

@@ -162,3 +162,129 @@ class Predictor:
                 x = np.zeros((b, self.cfg.modalities[i].arch["n_input"]), np.float32)
                 for j in range(k):
                     self.cross_generate(x, i, j)
+
+
+class MicroBatcher:
+    """Coalesce concurrent cross_generate requests into batched device calls.
+
+    Production serving pattern: many small concurrent requests each paying
+    a full device round-trip waste both link RTT and MXU occupancy (a
+    1-row call costs nearly the same wall-clock as a 256-row call — see
+    the latency table in BASELINE.md). The batcher gives each endpoint a
+    collection window: a background thread drains the request queue,
+    groups requests by (src, dst) route, concatenates their rows, runs ONE
+    bucketed `Predictor.cross_generate` per route, and scatters the result
+    slices back to per-request futures.
+
+        with MicroBatcher(pred, max_wait_ms=2.0) as mb:
+            fut = mb.submit(x, "image", "trajectory")   # non-blocking
+            y = mb.cross_generate(x2, 0, 1)             # blocking sugar
+            traj = fut.result()
+
+    Semantics: results are identical to direct Predictor calls (asserted
+    in tests/test_serve_stream.py); ordering within a batch is preserved
+    per request. Latency: a request waits at most ~max_wait_ms for
+    co-travelers before dispatch; max_batch bounds the concatenated rows
+    per device call (larger loads split across calls).
+    """
+
+    _STOP = object()
+
+    def __init__(self, predictor: Predictor, *, max_batch: int = 1024,
+                 max_wait_ms: float = 2.0):
+        import queue
+        import threading
+
+        self.predictor = predictor
+        self.max_batch = int(max_batch)
+        self.max_wait = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self.dispatches = 0  # device calls made (observability + tests)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def submit(self, x, src: Union[int, str], dst: Union[int, str]):
+        """Enqueue one request; returns a concurrent.futures.Future."""
+        from concurrent.futures import Future
+
+        x = np.asarray(x)
+        if x.ndim != 2:
+            raise ValueError(f"expected [n, features] request, got {x.shape}")
+        if x.shape[0] > self.max_batch:
+            raise ValueError(f"request of {x.shape[0]} rows > max_batch")
+        route = (
+            self.predictor.cfg.modality_index(src),
+            self.predictor.cfg.modality_index(dst),
+        )
+        fut: Future = Future()
+        self._q.put((route, x, fut))
+        return fut
+
+    def cross_generate(self, x, src, dst):
+        """Blocking convenience wrapper over `submit`."""
+        return self.submit(x, src, dst).result()
+
+    def _worker(self):
+        import queue
+        import time as _time
+
+        while True:
+            item = self._q.get()
+            if item is self._STOP:
+                return
+            batch = [item]
+            deadline = _time.monotonic() + self.max_wait
+            while True:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is self._STOP:
+                    self._flush(batch)
+                    return
+                batch.append(nxt)
+            self._flush(batch)
+
+    def _flush(self, batch):
+        routes: dict = {}
+        for route, x, fut in batch:
+            routes.setdefault(route, []).append((x, fut))
+        for (src, dst), items in routes.items():
+            # Chunk so one device call never exceeds max_batch rows.
+            chunk, rows = [], 0
+            for x, fut in items:
+                if chunk and rows + x.shape[0] > self.max_batch:
+                    self._dispatch(src, dst, chunk)
+                    chunk, rows = [], 0
+                chunk.append((x, fut))
+                rows += x.shape[0]
+            if chunk:
+                self._dispatch(src, dst, chunk)
+
+    def _dispatch(self, src, dst, items):
+        try:
+            big = np.concatenate([x for x, _ in items], axis=0)
+            out = self.predictor.cross_generate(big, src, dst)
+            self.dispatches += 1
+            lo = 0
+            for x, fut in items:
+                fut.set_result(out[lo : lo + x.shape[0]])
+                lo += x.shape[0]
+        except Exception as e:  # pragma: no cover - propagate to callers
+            for _, fut in items:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    def close(self):
+        """Flush in-flight requests and stop the worker thread."""
+        self._q.put(self._STOP)
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
