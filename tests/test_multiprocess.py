@@ -27,10 +27,20 @@ import numpy as np
 import pytest
 
 NPROC = 2
-PORT = "12931"
+
+
+def _free_port() -> str:
+    """OS-assigned free port — a hardcoded one collides across concurrent
+    suite runs on the same host (parallel CI, leftover processes)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
 
 
 def _launch():
+    port = _free_port()
     env = dict(os.environ)
     # Workers provision their own 4-device CPU platform; the conftest's
     # 8-device flag must not leak in.
@@ -45,7 +55,7 @@ def _launch():
     worker = os.path.join(root, "scripts", "multiprocess_dp_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(NPROC), PORT],
+            [sys.executable, worker, str(i), str(NPROC), port],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,

@@ -169,3 +169,47 @@ def test_microbatcher_routes_and_chunking(model, rng):
         )
         with pytest.raises(ValueError, match="max_batch"):
             mb.submit(rng.uniform(0, 1, (9, 24)).astype(np.float32), 0, 1)
+
+
+def test_microbatcher_cancel_and_close_semantics(model, rng):
+    """A cancelled future must not poison its chunk-mates' results, and
+    submit() after close() must fail loudly instead of hanging forever."""
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    a = rng.uniform(0, 1, (2, 24)).astype(np.float32)
+    with MicroBatcher(pred, max_wait_ms=80.0) as mb:
+        f1 = mb.submit(a, 0, 1)
+        f_cancel = mb.submit(a, 0, 1)
+        assert f_cancel.cancel()
+        f2 = mb.submit(a, 0, 1)
+        np.testing.assert_allclose(
+            f1.result(timeout=30), pred.cross_generate(a, 0, 1),
+            rtol=1e-4, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            f2.result(timeout=30), pred.cross_generate(a, 0, 1),
+            rtol=1e-4, atol=1e-6,
+        )
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(a, 0, 1)
+
+
+def test_microbatcher_dispatches_early_at_full_batch(model, rng):
+    """Once pending rows reach max_batch the worker must dispatch without
+    waiting out the rest of the collection window."""
+    import time as _time
+
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    x = rng.uniform(0, 1, (4, 24)).astype(np.float32)
+    pred.cross_generate(x, 0, 1)  # warm the bucket outside the timed region
+    with MicroBatcher(pred, max_batch=4, max_wait_ms=10_000.0) as mb:
+        t0 = _time.monotonic()
+        out = mb.cross_generate(x, 0, 1)  # fills max_batch by itself
+        dt = _time.monotonic() - t0
+    assert dt < 5.0, f"waited out the 10 s window: {dt:.1f}s"
+    np.testing.assert_allclose(
+        out, pred.cross_generate(x, 0, 1), rtol=1e-4, atol=1e-6
+    )

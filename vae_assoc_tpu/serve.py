@@ -200,6 +200,7 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self.dispatches = 0  # device calls made (observability + tests)
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -207,6 +208,10 @@ class MicroBatcher:
         """Enqueue one request; returns a concurrent.futures.Future."""
         from concurrent.futures import Future
 
+        if self._closed:
+            # Without this, a post-close request would sit behind the STOP
+            # sentinel forever and its future would never resolve.
+            raise RuntimeError("MicroBatcher is closed")
         x = np.asarray(x)
         if x.ndim != 2:
             raise ValueError(f"expected [n, features] request, got {x.shape}")
@@ -233,8 +238,11 @@ class MicroBatcher:
             if item is self._STOP:
                 return
             batch = [item]
+            rows = item[1].shape[0]
             deadline = _time.monotonic() + self.max_wait
-            while True:
+            while rows < self.max_batch:
+                # Dispatch as soon as a full batch accumulates — waiting out
+                # the rest of the window would only add latency.
                 remaining = deadline - _time.monotonic()
                 if remaining <= 0:
                     break
@@ -246,6 +254,7 @@ class MicroBatcher:
                     self._flush(batch)
                     return
                 batch.append(nxt)
+                rows += nxt[1].shape[0]
             self._flush(batch)
 
     def _flush(self, batch):
@@ -269,17 +278,23 @@ class MicroBatcher:
             big = np.concatenate([x for x, _ in items], axis=0)
             out = self.predictor.cross_generate(big, src, dst)
             self.dispatches += 1
-            lo = 0
-            for x, fut in items:
-                fut.set_result(out[lo : lo + x.shape[0]])
-                lo += x.shape[0]
         except Exception as e:  # pragma: no cover - propagate to callers
             for _, fut in items:
                 if not fut.done():
                     fut.set_exception(e)
+            return
+        lo = 0
+        for x, fut in items:
+            # A caller may have cancelled its future (they are never marked
+            # running, so cancel always succeeds); that must not poison the
+            # other requests' results in this chunk.
+            if not fut.done():
+                fut.set_result(out[lo : lo + x.shape[0]])
+            lo += x.shape[0]
 
     def close(self):
         """Flush in-flight requests and stop the worker thread."""
+        self._closed = True
         self._q.put(self._STOP)
         self._thread.join()
 
