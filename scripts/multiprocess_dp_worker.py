@@ -87,6 +87,34 @@ def main(proc: int, nproc: int, port: str) -> int:
     shards = [np.asarray(s.data) for s in w.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+    # Phase 2 — cross-process TENSOR parallelism: a (nproc·2, 2)
+    # ('data','model') mesh whose data axis spans processes. The Megatron
+    # GSPMD shardings and their forward/backward all-reduces now execute
+    # over the cross-process collective backend (Gloo here, DCN/ICI on
+    # pods). State placement goes through tp._placer's jit-identity path
+    # (device_put cannot reach non-addressable devices).
+    from jax.sharding import Mesh
+    from vae_assoc_tpu.parallel import make_tp_train_step
+    from vae_assoc_tpu.parallel.tp import shard_tp_train_state
+
+    devices = np.asarray(jax.devices()).reshape(nproc * 2, 2)
+    mesh2 = Mesh(devices, ("data", "model"))
+    tp_state = shard_tp_train_state(mesh2, init_train_state(cfg, tc), cfg, tc)
+    tp_step = make_tp_train_step(cfg, tc, mesh2)
+    rng2 = np.random.default_rng(11)  # same stream in every process
+    spec2 = NamedSharding(mesh2, P("data"))
+    for step in range(2):
+        x_img = rng2.uniform(0, 1, (tc.batch_size, 24)).astype(np.float32)
+        x_traj = rng2.normal(size=(tc.batch_size, 24)).astype(np.float32)
+        xs = tuple(
+            jax.make_array_from_process_local_data(spec2, d[lo : lo + rows_here])
+            for d in (x_img, x_traj)
+        )
+        tp_state, metrics = tp_step(tp_state, xs)
+        total = float(jax.device_get(metrics["total"]))
+        print(f"TPMETRICS {proc} {step} {total:.6f}", flush=True)
+
     print(f"DONE {proc}", flush=True)
     return 0
 

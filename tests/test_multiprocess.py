@@ -15,7 +15,11 @@ leg rides DCN. Asserts:
      on the same global batches (multi-process == single-process
      semantics);
   3. workers' replicated params stay bit-identical across devices
-     (checked in-worker).
+     (checked in-worker);
+  4. cross-process TENSOR parallelism (worker phase 2: a (4, 2)
+     ('data','model') mesh spanning both processes, Megatron GSPMD
+     shardings, jit-identity state placement) — identical across
+     processes and equal to the single-process TP run.
 """
 
 import os
@@ -80,7 +84,7 @@ def test_two_process_dp_matches_single_process():
     for out in outs:
         losses = {
             int(m.group(1)): float(m.group(2))
-            for m in re.finditer(r"METRICS \d+ (\d+) ([0-9.]+)", out)
+            for m in re.finditer(r"^METRICS \d+ (\d+) ([0-9.]+)", out, re.M)
         }
         assert len(losses) == 3, out[-2000:]
         per_proc.append([losses[i] for i in range(3)])
@@ -131,3 +135,39 @@ def test_two_process_dp_matches_single_process():
         state, metrics = step_fn(state, xs)
         ref.append(float(jax.device_get(metrics["total"])))
     np.testing.assert_allclose(per_proc[0], ref, rtol=2e-5)
+
+    # 3. Cross-process TENSOR parallelism (worker phase 2): identical
+    # across processes AND matching a single-process TP run of the same
+    # (4, 2) ('data', 'model') mesh shape on the same global batches.
+    tp_per_proc = []
+    for out in outs:
+        losses = {
+            int(m.group(1)): float(m.group(2))
+            for m in re.finditer(r"^TPMETRICS \d+ (\d+) ([0-9.]+)", out, re.M)
+        }
+        assert len(losses) == 2, out[-2000:]
+        tp_per_proc.append([losses[i] for i in range(2)])
+    np.testing.assert_allclose(tp_per_proc[0], tp_per_proc[1], rtol=0)
+
+    from vae_assoc_tpu.parallel import (
+        init_tp_train_state,
+        make_tp_train_step,
+        shard_tp_batch,
+    )
+
+    tp_mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2), ("data", "model"))
+    tp_state = init_tp_train_state(cfg, tc, tp_mesh)
+    tp_step = make_tp_train_step(cfg, tc, tp_mesh)
+    rng2 = np.random.default_rng(11)
+    tp_ref = []
+    for _ in range(2):
+        xs = shard_tp_batch(
+            tp_mesh,
+            [
+                rng2.uniform(0, 1, (32, 24)).astype(np.float32),
+                rng2.normal(size=(32, 24)).astype(np.float32),
+            ],
+        )
+        tp_state, metrics = tp_step(tp_state, xs)
+        tp_ref.append(float(jax.device_get(metrics["total"])))
+    np.testing.assert_allclose(tp_per_proc[0], tp_ref, rtol=2e-5)

@@ -123,6 +123,26 @@ def _check_tp_mesh(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
         )
 
 
+def _placer(mesh: Mesh):
+    """How to place a host/global value onto a sharding of `mesh`.
+
+    Single-process: `jax.device_put`. Multi-controller (mesh spans
+    processes, e.g. a pod or the Gloo-backed multiprocess tests):
+    `device_put` cannot reach non-addressable devices, but a jitted
+    identity with `out_shardings` can — XLA moves/slices the (replicated
+    or jit-produced) value into the global layout. Validated end-to-end by
+    the cross-process TP leg of tests/test_multiprocess.py.
+    """
+    me = jax.process_index()
+    if all(d.process_index == me for d in mesh.devices.flat):
+        return jax.device_put
+
+    def put(x, sharding):
+        return jax.jit(lambda y: y, out_shardings=sharding)(x)
+
+    return put
+
+
 def shard_opt_state_like(mesh: Mesh, opt_state, specs: dict):
     """Lay Adam's mu/nu out exactly like the params they track (`specs` is a
     PartitionSpec pytree matching the param tree).
@@ -134,35 +154,38 @@ def shard_opt_state_like(mesh: Mesh, opt_state, specs: dict):
     state is ``(ScaleByAdamState(count, mu, nu), EmptyState())`` with mu/nu
     mirroring the param tree.
     """
+    put = _placer(mesh)
     repl = NamedSharding(mesh, P())
 
     def like_params(tree):
         return jax.tree.map(
-            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+            lambda x, s: put(x, NamedSharding(mesh, s)), tree, specs
         )
 
     adam, *rest = opt_state
     adam = adam._replace(
-        count=jax.device_put(adam.count, repl),
+        count=put(adam.count, repl),
         mu=like_params(adam.mu),
         nu=like_params(adam.nu),
     )
-    return (adam, *(jax.device_put(r, repl) for r in rest))
+    return (adam, *(put(r, repl) for r in rest))
 
 
 def shard_train_state_like(mesh: Mesh, state: TrainState, specs: dict) -> TrainState:
     """Re-lay an existing TrainState (fresh or checkpoint-restored) onto
     `mesh` with `specs` on the params (and matching opt-state layout),
-    replicated step/rng. Shared by the TP and FSDP layouts."""
+    replicated step/rng. Shared by the TP and FSDP layouts; works on
+    single-process and multi-controller meshes (see `_placer`)."""
+    put = _placer(mesh)
     repl = NamedSharding(mesh, P())
     params = jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state.params, specs
+        lambda x, s: put(x, NamedSharding(mesh, s)), state.params, specs
     )
     return TrainState(
-        jax.device_put(state.step, repl),
+        put(state.step, repl),
         params,
         shard_opt_state_like(mesh, state.opt_state, specs),
-        jax.device_put(state.rng, repl),
+        put(state.rng, repl),
     )
 
 
