@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _mm, _mm_tn, _pvary_like, _sds
+from vae_assoc_tpu.kernels.mlp import (
+    _interpret,
+    _mm,
+    _mm_tn,
+    _pvary_like,
+    _sds,
+    _shardmap_interpret,
+)
 from vae_assoc_tpu.models.conv import (
     C2,
     IMG_SIZE,
@@ -252,7 +259,25 @@ _conv_im2col.defvjp(_conv_vjp_fwd, _conv_vjp_bwd)
 
 
 def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
-    """SAME strided conv; matches lax.conv_general_dilated s2 in models.conv."""
+    """SAME strided conv; matches lax.conv_general_dilated s2 in models.conv.
+
+    Even spatial sizes only: for odd h, lax SAME-s2 emits ceil(h/2) rows
+    while this formulation floors — reject loudly rather than silently
+    diverge (config-4 geometry is 28/14, always even).
+    """
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        raise ValueError(
+            f"conv3x3_s2 requires even spatial dims, got {x.shape[1:3]}"
+        )
+    if _shardmap_interpret(x):
+        import jax.lax as lax
+
+        from vae_assoc_tpu.models.conv import _DN
+
+        return lax.conv_general_dilated(
+            x, w_hwio, (2, 2), "SAME", dimension_numbers=_DN,
+            precision=_precision(compute_dtype),
+        ) + b
     cin, cout = w_hwio.shape[2], w_hwio.shape[3]
     (w2d,) = _pvary_like([w_hwio.reshape(_K * _K * cin, cout)], x)
     out_hw = x.shape[1] // 2
@@ -263,6 +288,15 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
 
 def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     """SAME transposed conv; matches lax.conv_transpose s2 in models.conv."""
+    if _shardmap_interpret(x):
+        import jax.lax as lax
+
+        from vae_assoc_tpu.models.conv import _DN
+
+        return lax.conv_transpose(
+            x, w_hwio, (2, 2), "SAME", dimension_numbers=_DN,
+            precision=_precision(compute_dtype),
+        ) + b
     cin, cout = w_hwio.shape[2], w_hwio.shape[3]
     (w2d,) = _pvary_like([w_hwio.reshape(_K * _K * cin, cout)], x)
     out_hw = x.shape[1] * 2
@@ -271,30 +305,43 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     return y + b
 
 
-def encode_conv_fused(params, x, *, compute_dtype=jnp.float32,
-                      transfer=jax.nn.softplus):
-    """Drop-in for models.conv.encode_conv with Pallas conv kernels."""
-    prec = _precision(compute_dtype)
-    r = params["recog"]
-    img = x.astype(jnp.float32).reshape(-1, IMG_SIZE, IMG_SIZE, 1)
-    h = transfer(conv3x3_s2(img, r["conv1"]["w"], r["conv1"]["b"],
-                            compute_dtype=compute_dtype))
-    h = transfer(conv3x3_s2(h, r["conv2"]["w"], r["conv2"]["b"],
-                            compute_dtype=compute_dtype))
-    h = transfer(_dense(r["dense"], h.reshape(h.shape[0], _FLAT), prec))
-    return _dense(r["out_mean"], h, prec), _dense(r["out_logvar"], h, prec)
+def make_conv_tower(conv_op, convt_op):
+    """Build the (encode, decode) conv-tower pair over injected layer ops.
 
+    Shared by the im2col (this module) and banded (kernels/conv_banded)
+    formulations so the tower wiring — layer order, activations, dense
+    heads, reshapes — exists exactly once and cannot silently diverge
+    between variants.
+    """
 
-def decode_conv_fused(params, z, *, compute_dtype=jnp.float32,
-                      transfer=jax.nn.softplus):
-    """Drop-in for models.conv.decode_conv with Pallas conv kernels."""
-    prec = _precision(compute_dtype)
-    g = params["gener"]
-    h = transfer(_dense(g["dense1"], z, prec))
-    h = transfer(_dense(g["dense2"], h, prec))
-    h = h.reshape(-1, _SMALL, _SMALL, C2)
-    h = transfer(convt3x3_s2(h, g["convt1"]["w"], g["convt1"]["b"],
+    def encode_conv_fused(params, x, *, compute_dtype=jnp.float32,
+                          transfer=jax.nn.softplus):
+        """Drop-in for models.conv.encode_conv with Pallas conv kernels."""
+        prec = _precision(compute_dtype)
+        r = params["recog"]
+        img = x.astype(jnp.float32).reshape(-1, IMG_SIZE, IMG_SIZE, 1)
+        h = transfer(conv_op(img, r["conv1"]["w"], r["conv1"]["b"],
                              compute_dtype=compute_dtype))
-    h = convt3x3_s2(h, g["convt2"]["w"], g["convt2"]["b"],
-                    compute_dtype=compute_dtype)
-    return h.reshape(h.shape[0], IMG_SIZE * IMG_SIZE)
+        h = transfer(conv_op(h, r["conv2"]["w"], r["conv2"]["b"],
+                             compute_dtype=compute_dtype))
+        h = transfer(_dense(r["dense"], h.reshape(h.shape[0], _FLAT), prec))
+        return _dense(r["out_mean"], h, prec), _dense(r["out_logvar"], h, prec)
+
+    def decode_conv_fused(params, z, *, compute_dtype=jnp.float32,
+                          transfer=jax.nn.softplus):
+        """Drop-in for models.conv.decode_conv with Pallas conv kernels."""
+        prec = _precision(compute_dtype)
+        g = params["gener"]
+        h = transfer(_dense(g["dense1"], z, prec))
+        h = transfer(_dense(g["dense2"], h, prec))
+        h = h.reshape(-1, _SMALL, _SMALL, C2)
+        h = transfer(convt_op(h, g["convt1"]["w"], g["convt1"]["b"],
+                              compute_dtype=compute_dtype))
+        h = convt_op(h, g["convt2"]["w"], g["convt2"]["b"],
+                     compute_dtype=compute_dtype)
+        return h.reshape(h.shape[0], IMG_SIZE * IMG_SIZE)
+
+    return encode_conv_fused, decode_conv_fused
+
+
+encode_conv_fused, decode_conv_fused = make_conv_tower(conv3x3_s2, convt3x3_s2)

@@ -26,9 +26,10 @@ MXU absorbs far more cheaply than the im2col layout waste.
 Gradients: the generic primitive `_banded` has a custom VJP —
 dx-row-groups are the same banded matmuls against Mᵀ (re-embedded into
 rows by pad/stack/reshape in XLA), dM is rowsᵀ@g accumulated across batch
-tiles — and the M matrices are built from `w` by a differentiable XLA
-scatter-add, so `jax.grad` w.r.t. the HWIO kernel flows end-to-end with
-no conv-specific gradient calculus.
+tiles — and the M matrices are built from `w` by differentiable outer
+products against constant 0/1 band matrices (see `_build_m`), so
+`jax.grad` w.r.t. the HWIO kernel flows end-to-end with no conv-specific
+gradient calculus.
 
 Public drop-ins mirror kernels/conv.py: `conv3x3_s2`, `convt3x3_s2`,
 `encode_conv_fused`, `decode_conv_fused` (parity:
@@ -158,7 +159,8 @@ def _tile_for(b, hp, k, n_lanes, m_bytes, n_og, oh, extra_n=3, extra_k=2):
     tile = max(8, min(256, budget // per_row))
     tile = (tile // 8) * 8
     if b < tile:
-        return _pow2_tile(b)
+        # Cap at the budget tile (see mlp._batch_tile).
+        return max(8, min(_pow2_tile(b), tile))
     return max(8, tile)
 
 
@@ -323,6 +325,10 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
             precision=_precision(compute_dtype),
         ) + b
     bsz, h, w_img, cin = x.shape
+    if h % 2 or w_img % 2:
+        raise ValueError(
+            f"conv3x3_s2 requires even spatial dims, got {(h, w_img)}"
+        )
     cout = w_hwio.shape[3]
     oh = ow = h // 2
     hp = h + 2  # rows pad (0,2): row index 2o+dy ≤ h, and hp even for parity
@@ -371,30 +377,8 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     return out.reshape(bsz, oh_total, 2 * w_img, cout) + b
 
 
-def encode_conv_fused(params, x, *, compute_dtype=jnp.float32,
-                      transfer=jax.nn.softplus):
-    """Drop-in for models.conv.encode_conv with banded Pallas convs."""
-    prec = _precision(compute_dtype)
-    r = params["recog"]
-    img = x.astype(jnp.float32).reshape(-1, IMG_SIZE, IMG_SIZE, 1)
-    h = transfer(conv3x3_s2(img, r["conv1"]["w"], r["conv1"]["b"],
-                            compute_dtype=compute_dtype))
-    h = transfer(conv3x3_s2(h, r["conv2"]["w"], r["conv2"]["b"],
-                            compute_dtype=compute_dtype))
-    h = transfer(_dense(r["dense"], h.reshape(h.shape[0], _FLAT), prec))
-    return _dense(r["out_mean"], h, prec), _dense(r["out_logvar"], h, prec)
+from vae_assoc_tpu.kernels.conv import make_conv_tower
 
-
-def decode_conv_fused(params, z, *, compute_dtype=jnp.float32,
-                      transfer=jax.nn.softplus):
-    """Drop-in for models.conv.decode_conv with banded Pallas convs."""
-    prec = _precision(compute_dtype)
-    g = params["gener"]
-    h = transfer(_dense(g["dense1"], z, prec))
-    h = transfer(_dense(g["dense2"], h, prec))
-    h = h.reshape(-1, _SMALL, _SMALL, C2)
-    h = transfer(convt3x3_s2(h, g["convt1"]["w"], g["convt1"]["b"],
-                             compute_dtype=compute_dtype))
-    h = convt3x3_s2(h, g["convt2"]["w"], g["convt2"]["b"],
-                    compute_dtype=compute_dtype)
-    return h.reshape(h.shape[0], IMG_SIZE * IMG_SIZE)
+# The tower wiring lives once in kernels/conv.make_conv_tower; this pair
+# is the banded-kernel instantiation (models/vae.py's "conv_pallas" path).
+encode_conv_fused, decode_conv_fused = make_conv_tower(conv3x3_s2, convt3x3_s2)

@@ -107,10 +107,6 @@ def _loss_bwd_kernel(kinds, refs, douts):
         dlvs[i][:] = dlv
 
 
-def _vmem_specs(n):
-    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(n)]
-
-
 def _row_spec(tile, ncols):
     return pl.BlockSpec((tile, ncols), lambda i: (i, 0), memory_space=pltpu.VMEM)
 

@@ -60,7 +60,11 @@ from vae_assoc_tpu.kernels.mlp import (
     _softplus,
     _tile_spec as _row_spec,
 )
-from vae_assoc_tpu.kernels.sampling import _normal_bits
+from vae_assoc_tpu.kernels.sampling import (
+    SEED_TILE_HASH,
+    _normal_bits,
+    fold_key_to_seed,
+)
 
 
 def _rowsum(x):
@@ -76,7 +80,9 @@ def _vmem_tile(b: int, weight_bytes: int, widest: int, n_live: int) -> int:
     tile = max(8, min(256, budget // per_row))
     tile = (tile // 8) * 8
     if b < tile:
-        return _pow2_tile(b)
+        # Cap at the budget tile: rounding b up to a power of two could
+        # otherwise exceed what the VMEM budget allows by ~2x.
+        return max(8, min(_pow2_tile(b), tile))
     return max(8, tile)
 
 
@@ -100,7 +106,7 @@ def _fwd_kernel(cd, kind, nrows, seeded, *refs):
     lv = _mm(h2, wl[:], cd) + bl[:]
     if seeded:
         # On-core PRNG; per-tile seed decorrelation as in kernels/sampling.py.
-        pltpu.prng_seed(eps_or_seed[0] + pl.program_id(0) * jnp.int32(-1640531527))
+        pltpu.prng_seed(eps_or_seed[0] + pl.program_id(0) * jnp.int32(SEED_TILE_HASH))
         eps = _normal_bits(mu.shape)
     else:
         eps = eps_or_seed[:]
@@ -342,10 +348,12 @@ def vae_tower_fused(params, x, *, kind, key=None, eps=None, compute_dtype=jnp.fl
             n_z = flat[4].shape[1]
             arg = jax.random.normal(key, (x.shape[0], n_z), jnp.float32)
         else:
-            data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-            arg = (data[0] ^ (data[-1] << 7)).astype(jnp.int32).reshape(1)
+            arg = fold_key_to_seed(key)
     else:
         arg = eps.astype(jnp.float32)
+    # Promote the seed/ε arg's vma to the batch's (a mesh-invariant key
+    # would fail the pallas_call's vma check under shard_map).
+    (arg,) = _pvary_like([arg], x)
     return _tower(
         kind, jnp.dtype(compute_dtype).name, flat, x.astype(jnp.float32), arg
     )

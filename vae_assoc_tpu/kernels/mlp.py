@@ -108,10 +108,13 @@ def _batch_tile(b: int, limit: int = 256) -> int:
     The batch need NOT divide it: the grid is ceil-div and a ragged last
     tile is masked in the kernels, so an arbitrary (e.g. prime)
     production-sized batch never degenerates into a single whole-batch
-    VMEM tile."""
+    VMEM tile. The small-batch power-of-two fallback is capped at the
+    limit: with a non-power-of-two (budget-derived) limit, rounding b up
+    could otherwise pick a tile ~2x what the VMEM budget allows."""
+    cap = max(8, (limit // 8) * 8)
     if b >= limit:
-        return max(8, (limit // 8) * 8)
-    return _pow2_tile(b)
+        return cap
+    return min(_pow2_tile(b), cap)
 
 
 def _grid(b: int, tile: int) -> tuple:

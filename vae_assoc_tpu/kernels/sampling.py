@@ -25,9 +25,21 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _sds
+from vae_assoc_tpu.kernels.mlp import _interpret, _pvary_like, _sds
 
 _TWO_PI = 6.283185307179586
+# Knuth multiplicative hash for per-tile seed decorrelation (identical
+# seeding across grid steps would replicate ε tile-to-tile). Shared with
+# kernels/megakernel.py so both kernels draw the same reviewed stream.
+SEED_TILE_HASH = -1640531527
+
+
+def fold_key_to_seed(key):
+    """Fold a JAX PRNG key into the one-word int32 seed the on-core PRNG
+    takes. Single source — megakernel.py reuses it, so a change to the
+    fold (stream-quality fix) cannot silently diverge between kernels."""
+    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    return (data[0] ^ (data[-1] << 7)).astype(jnp.int32).reshape(1)
 
 
 def _normal_bits(shape):
@@ -51,7 +63,7 @@ def _reparam_kernel(mu_ref, lv_ref, seed_ref, z_ref, eps_ref):
     # Per-tile seed decorrelation: identical seeding across grid steps
     # would replicate ε tile-to-tile (Knuth multiplicative hash of the
     # tile index keeps streams disjoint).
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(-1640531527))
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * jnp.int32(SEED_TILE_HASH))
     eps = _normal_bits(mu_ref.shape)
     eps_ref[:] = eps
     z_ref[:] = mu_ref[:] + jnp.exp(0.5 * lv_ref[:]) * eps
@@ -90,9 +102,10 @@ def _reparam_fwd(z_mean, z_logvar, key):
         eps = jax.random.normal(key, z_mean.shape, jnp.float32)
         z = z_mean.astype(jnp.float32) + jnp.exp(0.5 * z_logvar.astype(jnp.float32)) * eps
         return z, (z_logvar, eps)
-    # Fold the key into a 1-word seed for the per-core PRNG.
-    data = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    seed = (data[0] ^ (data[-1] << 7)).astype(jnp.int32).reshape(1)
+    # Fold the key into a 1-word seed for the per-core PRNG. Promote its
+    # vma to the batch's (under shard_map a mesh-invariant key would
+    # otherwise fail the pallas_call's varying/invariant type check).
+    (seed,) = _pvary_like([fold_key_to_seed(key)], z_mean)
     z, eps = _sample_impl(z_mean, z_logvar, seed)
     return z, (z_logvar, eps)
 
