@@ -252,3 +252,19 @@ def test_mega_path_falls_back_for_non_mlp_or_non_softplus(rng):
         np.testing.assert_allclose(
             float(total_mega), float(total_ref), rtol=1e-5
         )
+
+
+def test_grad_norm_metric_emitted(rng):
+    """SURVEY §5 promises grad-norm among the first-class jitted metrics."""
+    import jax
+    from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+
+    cfg = AssocConfig([ModalityConfig("image", TINY)], assoc_lambda=0.0)
+    tc = TrainConfig(batch_size=8)
+    state = init_train_state(cfg, tc)
+    _, m = make_train_step(cfg, tc)(
+        state, [rng.uniform(0, 1, (8, 24)).astype(np.float32)]
+    )
+    gn = float(jax.device_get(m["grad_norm"]))
+    assert np.isfinite(gn) and gn > 0.0, gn

@@ -89,6 +89,10 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
         # Metrics are shard-local; average them so the logged loss equals
         # the global-batch loss.
         metrics = jax.lax.pmean(metrics, axis_name)
+    # Global gradient norm (SURVEY.md §5 "Metrics": a first-class jitted
+    # output). Computed after the DP reduction, so it is the norm of the
+    # actual update-driving gradient, identical on every shard.
+    metrics["grad_norm"] = optax.global_norm(grads)
     updates, opt_state = opt.update(grads, state.opt_state, state.params)
     params = optax.apply_updates(state.params, updates)
     new_state = TrainState(state.step + 1, params, opt_state, rng)
