@@ -73,7 +73,10 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             total = jax.lax.pmean(total, axis_name)
         return total, metrics
 
-    grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    # named_scope: profiler-trace labels (SURVEY.md §5 "Tracing/profiling");
+    # trace-time only, zero runtime cost.
+    with jax.named_scope("fwd_bwd"):
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
     if axis_name is not None:
         # Pallas custom-VJP kernels return *per-shard* weight grads whose
         # vma still varies over the mesh (a hand-written bwd can't know the
@@ -93,8 +96,9 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
     # output). Computed after the DP reduction, so it is the norm of the
     # actual update-driving gradient, identical on every shard.
     metrics["grad_norm"] = optax.global_norm(grads)
-    updates, opt_state = opt.update(grads, state.opt_state, state.params)
-    params = optax.apply_updates(state.params, updates)
+    with jax.named_scope("adam_update"):
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
     new_state = TrainState(state.step + 1, params, opt_state, rng)
     return new_state, metrics
 
