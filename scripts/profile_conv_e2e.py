@@ -1,0 +1,201 @@
+"""Attribute the config-4 end-to-end gap: XLA convs vs banded Pallas convs.
+
+Round-2 left a ledger hole (VERDICT round 2, missing #4): per-layer the
+banded kernels are ~1.5x behind XLA convs, but end-to-end config-4
+training is ~3.3x behind (288k vs 942k samples/s) — the difference was
+unattributed. This script measures every component at the SAME regime as
+the e2e number (batch 2048, bf16 compute policy, the real conv tower
+wiring) so the ledger closes:
+
+  A. e2e train step: encoder="conv" (XLA) vs "conv_pallas" (banded)
+  B. conv tower fwd+bwd in isolation (the 4 conv layers composed with
+     their activations, grads wrt x and all conv weights)
+  C. band-matrix build alone (the per-step `_build_m` outer products for
+     all 4 convs), fwd and fwd+grad
+  D. non-conv remainder (dense heads + sampler + loss + Adam): the XLA
+     e2e step minus the XLA tower time — shared by both variants
+
+Reading: e2e(banded) − e2e(XLA) ≈ [B_banded − B_xla] + C + boundary
+residual; whatever the residual is, it is now a measured number.
+
+Run: PYTHONPATH=/root/repo python scripts/profile_conv_e2e.py
+"""
+
+import time
+
+import numpy as np
+
+import jax
+import jax.lax as lax
+import jax.numpy as jnp
+
+assert jax.default_backend() == "tpu"
+
+from vae_assoc_tpu.configs import baseline_config
+from vae_assoc_tpu.kernels import conv_banded as cb
+from vae_assoc_tpu.models import conv as mconv
+from vae_assoc_tpu.train.loop import train_loop
+from vae_assoc_tpu.train.step import init_train_state, make_train_step
+
+B = 2048
+N = 50  # serialized reps inside one device program
+rng = np.random.default_rng(0)
+
+
+def timeit(fn, *args, reps=3):
+    """ms per rep, best-of-reps, serialized fori_loop, device_get-forced."""
+    jax.device_get(fn(*args))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.device_get(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best / N * 1e3
+
+
+def serial(body):
+    """Wrap `body(s) -> scalar` into N serialized reps in one program."""
+
+    @jax.jit
+    def many(*args):
+        def step(i, s):
+            return s + body(s, *args)
+
+        return lax.fori_loop(0, N, step, jnp.float32(0))
+
+    return many
+
+
+# --- weights at config-4 shapes --------------------------------------------
+w1 = jnp.asarray((rng.normal(size=(3, 3, 1, 32)) * 0.05).astype(np.float32))
+w2 = jnp.asarray((rng.normal(size=(3, 3, 32, 64)) * 0.05).astype(np.float32))
+wt1 = jnp.asarray((rng.normal(size=(3, 3, 64, 32)) * 0.05).astype(np.float32))
+wt2 = jnp.asarray((rng.normal(size=(3, 3, 32, 1)) * 0.05).astype(np.float32))
+b32 = jnp.zeros((32,), jnp.float32)
+b64 = jnp.zeros((64,), jnp.float32)
+b1 = jnp.zeros((1,), jnp.float32)
+x_img = jnp.asarray(rng.uniform(0, 1, (B, 28, 28, 1)).astype(np.float32))
+z_small = jnp.asarray(rng.normal(size=(B, 7, 7, 64)).astype(np.float32))
+
+CD = jnp.bfloat16
+
+
+def tower_xla(ws, x, z):
+    w1, w2, wt1, wt2 = ws
+    h = jax.nn.softplus(
+        lax.conv_general_dilated(x, w1, (2, 2), "SAME",
+                                 dimension_numbers=mconv._DN) + b32
+    )
+    h = jax.nn.softplus(
+        lax.conv_general_dilated(h, w2, (2, 2), "SAME",
+                                 dimension_numbers=mconv._DN) + b64
+    )
+    d = jax.nn.softplus(
+        lax.conv_transpose(z, wt1, (2, 2), "SAME",
+                           dimension_numbers=mconv._DN) + b32
+    )
+    d = lax.conv_transpose(d, wt2, (2, 2), "SAME",
+                           dimension_numbers=mconv._DN) + b1
+    return jnp.sum(h.astype(jnp.float32)) + jnp.sum(d.astype(jnp.float32))
+
+
+def tower_banded(ws, x, z):
+    w1, w2, wt1, wt2 = ws
+    h = jax.nn.softplus(cb.conv3x3_s2(x, w1, b32, compute_dtype=CD))
+    h = jax.nn.softplus(cb.conv3x3_s2(h, w2, b64, compute_dtype=CD))
+    d = jax.nn.softplus(cb.convt3x3_s2(z, wt1, b32, compute_dtype=CD))
+    d = cb.convt3x3_s2(d, wt2, b1, compute_dtype=CD)
+    return jnp.sum(h.astype(jnp.float32)) + jnp.sum(d.astype(jnp.float32))
+
+
+def build_all(ws):
+    """Exactly the per-step band-matrix builds the banded tower performs."""
+    w1, w2, wt1, wt2 = ws
+    tot = jnp.float32(0)
+    for w, bands in (
+        (w1, cb._band_mats_s2(28, 14)),
+        (w2, cb._band_mats_s2(14, 7)),
+    ):
+        cin, cout = w.shape[2], w.shape[3]
+        for dy in range(3):
+            tot += jnp.sum(cb._build_m(w, dy, bands, cin, cout))
+    for w, bands in ((wt1, cb._band_mats_t2(7)), (wt2, cb._band_mats_t2(14))):
+        cin, cout = w.shape[2], w.shape[3]
+        for dy in range(3):
+            tot += jnp.sum(cb._build_m(w, dy, bands, cin, cout))
+    return tot
+
+
+ws = (w1, w2, wt1, wt2)
+
+rows = []
+for name, tower in (("xla", tower_xla), ("banded", tower_banded)):
+    fwd = serial(lambda s, ws, x, z, _t=tower: _t(ws, x + s * 1e-30, z))
+    g = jax.grad(lambda ws, x, z, _t=tower: _t(ws, x, z), argnums=(0, 1, 2))
+    fb = serial(
+        lambda s, ws, x, z, _g=g: sum(
+            jnp.sum(t.astype(jnp.float32)) for t in jax.tree.leaves(
+                _g(ws, x + s * 1e-30, z)
+            )
+        )
+    )
+    t_f = timeit(fwd, ws, x_img, z_small)
+    t_fb = timeit(fb, ws, x_img, z_small)
+    rows.append((name, t_f, t_fb))
+    print(f"tower {name:7s} fwd {t_f:7.3f} ms   fwd+bwd {t_fb:7.3f} ms", flush=True)
+
+bf = serial(lambda s, ws: build_all(tuple(w + s * 1e-30 for w in ws)))
+gb = jax.grad(build_all)
+bg = serial(
+    lambda s, ws: sum(
+        jnp.sum(t) for t in jax.tree.leaves(gb(tuple(w + s * 1e-30 for w in ws)))
+    )
+)
+t_build = timeit(bf, ws)
+t_build_g = timeit(bg, ws)
+print(f"band build (4 convs, 12 Ms) fwd {t_build:7.3f} ms  fwd+grad {t_build_g:7.3f} ms",
+      flush=True)
+
+# --- e2e steps --------------------------------------------------------------
+import dataclasses
+
+e2e = {}
+for enc, label in (("conv", "xla"), ("conv_pallas", "banded")):
+    cfg, tc = baseline_config(4, batch_size=B)
+    cfg = dataclasses.replace(
+        cfg,
+        modalities=(
+            dataclasses.replace(cfg.modalities[0], encoder=enc),
+            cfg.modalities[1],
+        ),
+    )
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    data = [
+        jnp.asarray(rng.uniform(0, 1, (B, 784)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 200)).astype(np.float32)),
+    ]
+    state, _ = step(state, data)  # compile
+    reps = 30
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            state, m = step(state, data)
+        jax.device_get(m["total"])
+        best = min(best, time.perf_counter() - t0)
+    ms = best / reps * 1e3
+    e2e[label] = ms
+    print(f"e2e config-4 step ({label}) {ms:7.3f} ms  "
+          f"{B / (ms / 1e3):,.0f} samples/s", flush=True)
+
+# --- ledger -----------------------------------------------------------------
+(_, fx, fbx), (_, fb_, fbb) = rows
+d_e2e = e2e["banded"] - e2e["xla"]
+d_tower = fbb - fbx
+print("\n=== LEDGER (ms per step, batch 2048, bf16 policy) ===")
+print(f"e2e delta (banded - xla):        {d_e2e:7.3f}")
+print(f"  conv tower fwd+bwd delta:      {d_tower:7.3f}")
+print(f"  band build (incl. in tower):   {t_build_g:7.3f}  (fwd-only {t_build:7.3f})")
+print(f"  residual (boundaries/layout):  {d_e2e - d_tower:7.3f}")
+print(f"shared non-conv remainder:       {e2e['xla'] - fbx:7.3f} (e2e_xla - tower_xla)")

@@ -1,0 +1,92 @@
+"""Prove shard_map × Pallas co-execute as compiled Mosaic code on TPU.
+
+Every CPU test of the Pallas kernels under shard_map exercises their jnp
+fallbacks (kernels.mlp._shardmap_interpret) — the real claim, that the
+`pallas_call` boundary composes with shard_map's vma typing on the actual
+backend, needs a TPU run over a mesh. This script runs the DECLARED
+config-5 production step (`baseline_config(5)`: bf16, use_pallas, 10-step
+scan) via `make_dp_train_step` over a single-chip `('data',)` mesh and:
+
+  1. asserts the compiled HLO contains the Mosaic custom-calls
+     (`tpu_custom_call`) — i.e. the kernels, not the fallback, compiled;
+  2. executes training calls and checks the loss is finite and decreasing;
+  3. reports samples/sec for the BASELINE.md config-5 shard_map row.
+
+Both kernel modes are covered: use_pallas=True (fused mlp + loss +
+sampler kernels) and use_pallas="mega" (tower megakernel).
+
+Run:  PYTHONPATH=/root/repo python scripts/smoke_dp_tpu.py
+"""
+
+import time
+
+import jax
+import numpy as np
+
+print("backend:", jax.default_backend(), jax.devices())
+assert jax.default_backend() == "tpu", "this smoke must run on real TPU"
+
+from vae_assoc_tpu.configs import baseline_config
+from vae_assoc_tpu.parallel import (
+    init_dp_train_state,
+    make_dp_train_step,
+    make_mesh,
+    shard_batch,
+)
+
+mesh = make_mesh(len(jax.devices()))
+print("mesh:", mesh)
+
+rng = np.random.default_rng(0)
+results = {}
+for mode in (True, "mega"):
+    cfg, tc = baseline_config(5, use_pallas=mode)
+    assert tc.use_pallas == mode and tc.steps_per_call == 10
+    spc, bs = tc.steps_per_call, tc.batch_size
+    state = init_dp_train_state(cfg, tc, mesh)
+    step_fn = make_dp_train_step(cfg, tc, mesh)
+    xs = shard_batch(
+        mesh,
+        [
+            rng.uniform(0, 1, (spc, bs, 784)).astype(np.float32),
+            rng.normal(size=(spc, bs, 200)).astype(np.float32),
+        ],
+        leading_scan_axis=True,
+    )
+
+    # (1) The compiled program must contain the Mosaic kernels. Pallas
+    # lowers each kernel to a custom-call with target "tpu_custom_call";
+    # the jnp fallback produces none. Count them: use_pallas=True emits
+    # encoder/decoder/sampler/loss fwd+bwd per modality; "mega" fuses the
+    # tower but still runs as custom-calls.
+    hlo = step_fn.lower(state, xs).compile().as_text()
+    n_cc = hlo.count("tpu_custom_call")
+    print(f"use_pallas={mode!r}: {n_cc} tpu_custom_call sites in compiled HLO")
+    assert n_cc > 0, (
+        f"use_pallas={mode!r} compiled WITHOUT Pallas custom-calls — the "
+        "shard_map path silently took the jnp fallback on TPU"
+    )
+
+    # (2) + (3): execute and time. First call pays compile; time the rest.
+    state, metrics = step_fn(state, xs)
+    first = np.asarray(jax.device_get(metrics["total"]), np.float32)
+    assert first.shape == (spc,) and np.all(np.isfinite(first)), first
+
+    n_calls = 20
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        state, metrics = step_fn(state, xs)
+    last = np.asarray(jax.device_get(metrics["total"]), np.float32)  # forces
+    dt = time.perf_counter() - t0
+    assert np.all(np.isfinite(last)), last
+    assert float(last[-1]) < float(first[0]), (first, last)
+    sps = n_calls * spc * bs / dt
+    results[str(mode)] = dict(custom_calls=n_cc, samples_per_sec=sps,
+                              loss_first=float(first[0]), loss_last=float(last[-1]))
+    print(
+        f"use_pallas={mode!r}: loss {first[0]:.2f} -> {last[-1]:.2f}, "
+        f"{sps:,.0f} samples/sec over the {len(jax.devices())}-chip mesh"
+    )
+
+print("RESULTS", results)
+print("ALL CHECKS PASSED: shard_map x Pallas executed as compiled Mosaic code")

@@ -124,6 +124,38 @@ def test_driver_cli_end_to_end(tmp_path):
     assert "resumed from step" in out2.stdout
 
 
+def test_driver_config5_sharded_layout_flags(tmp_path):
+    """Regression (round-2 advisor, medium): config 5 defaults
+    use_pallas=True, and `--config 5 --fsdp` / `--model-parallel` used to
+    pass the CLI-flag guard then crash in _check_fsdp/_check_tp_mesh with
+    a raw ValueError traceback. The driver now forces the jnp path for
+    sharded layouts; also covers the round-3 combined
+    `--model-parallel --fsdp` spelling (previously rejected)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    for extra in (["--fsdp"], ["--model-parallel", "2"],
+                  ["--model-parallel", "2", "--fsdp"]):
+        out = subprocess.run(
+            [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+             "--config", "5", "--data", "synthetic", "--n-samples", "256",
+             "--batch-size", "64", "--steps-per-call", "1", "--epochs", "1",
+             "--mesh", "8"] + extra,
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, (extra, out.stderr[-3000:])
+        assert "ValueError" not in out.stderr, (extra, out.stderr[-3000:])
+    # Explicit --use-pallas with a sharded layout is a loud, clean exit.
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "5", "--mesh", "8", "--fsdp", "--use-pallas"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0
+    assert "jnp model path" in out.stderr
+
+
 def test_resume_reproduces_uninterrupted_run(rng):
     """Checkpoint determinism: save at step N, train M more; restore and
     retrain M — identical losses (exact-resume guarantee, SURVEY.md §5)."""

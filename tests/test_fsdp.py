@@ -147,11 +147,60 @@ def test_fsdp_misuse_fails_loudly(mesh):
     cfg = tiny_cfg()
     with pytest.raises(ValueError, match="[Pp]allas"):
         make_fsdp_train_step(cfg, TrainConfig(batch_size=8, use_pallas=True), mesh)
-    conv_cfg = AssocConfig(
+    # encoder="conv" is supported since round 3; the Pallas-kernel conv
+    # model path ("conv_pallas") still rejects loudly.
+    pallas_conv_cfg = AssocConfig(
         [ModalityConfig("image", dict(
             n_input=784, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
-            n_hidden_gener_1=16, n_hidden_gener_2=16), encoder="conv")],
+            n_hidden_gener_1=16, n_hidden_gener_2=16), encoder="conv_pallas")],
         assoc_lambda=0.0,
     )
-    with pytest.raises(ValueError, match="mlp"):
-        init_fsdp_train_state(conv_cfg, TrainConfig(batch_size=8), mesh)
+    with pytest.raises(ValueError, match="conv"):
+        init_fsdp_train_state(pallas_conv_cfg, TrainConfig(batch_size=8), mesh)
+
+
+def _conv_cfg():
+    """Config-4 shape joint model: conv image tower + MLP trajectory."""
+    img_arch = dict(
+        n_input=784, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+        n_hidden_gener_1=16, n_hidden_gener_2=16,
+    )
+    traj_arch = dict(
+        n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+        n_hidden_gener_1=16, n_hidden_gener_2=16,
+    )
+    return AssocConfig(
+        [
+            ModalityConfig("image", img_arch, recon="bernoulli", encoder="conv"),
+            ModalityConfig("trajectory", traj_arch, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+
+
+def test_fsdp_conv_tower_matches_single_device(mesh, rng):
+    """Round 3: conv towers have FSDP sharding rules (channel/dense-dim
+    splits) — scaled conv users keep sharding. Trajectory equality vs the
+    single-device step, and the conv kernels really shard."""
+    cfg = _conv_cfg()
+    tc = TrainConfig(batch_size=16, learning_rate=1e-3)
+    ref_state = init_train_state(cfg, tc)
+    ref_step = make_train_step(cfg, tc)
+    f_state = init_fsdp_train_state(cfg, tc, mesh)
+    f_step = make_fsdp_train_step(cfg, tc, mesh)
+
+    w = f_state.params["modalities"][0]["recog"]["conv1"]["w"]  # [3,3,1,32]
+    assert {s.data.shape for s in w.addressable_shards} == {(3, 3, 1, 4)}
+    d = f_state.params["modalities"][0]["recog"]["dense"]["w"]  # [3136, 16]
+    assert {s.data.shape for s in d.addressable_shards} == {(392, 16)}
+
+    for _ in range(2):
+        xs = [
+            rng.uniform(0, 1, (16, 784)).astype(np.float32),
+            rng.normal(size=(16, 24)).astype(np.float32),
+        ]
+        ref_state, ref_m = ref_step(ref_state, [jnp.asarray(x) for x in xs])
+        f_state, f_m = f_step(f_state, shard_batch(mesh, xs))
+        np.testing.assert_allclose(
+            float(ref_m["total"]), float(f_m["total"]), rtol=2e-5
+        )

@@ -169,8 +169,15 @@ def test_mesh_2d_hook():
 def test_dp_gradient_matches_single_device_megakernel(mesh, rng):
     """The tower-megakernel loss path (use_pallas='mega') under shard_map:
     psum'd per-shard gradients == single-device gradient, same global ε.
-    (Off-TPU the megakernel runs in interpret mode — same code path the
-    real lowering compiles.)"""
+
+    Coverage note (be precise about what this exercises): off-TPU, the
+    megakernel wrapper detects shard_map and routes to its identical-math
+    jnp fallback (kernels.mlp._shardmap_interpret) — so on the CPU test
+    mesh this validates the fallback semantics plus the vma/psum grad
+    plumbing, NOT the compiled pallas_call boundary. The real
+    shard_map × Mosaic composition is executed on TPU by
+    scripts/smoke_dp_tpu.py, which asserts the compiled HLO contains the
+    Pallas custom-calls."""
     cfg = tiny_cfg()
     params = assoc_mod.init_assoc(jax.random.key(1), cfg)
     B = 32
@@ -213,7 +220,56 @@ def test_dp_gradient_matches_single_device_megakernel(mesh, rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
 
 
+def test_dp_gradient_with_fused_loss_kernel(mesh, rng):
+    """use_pallas=True (fused mlp + loss kernels) under shard_map + grad.
+
+    Regression: the fused-loss shard_map fallback gate used to live inside
+    the custom_vjp PRIMAL, which jax.grad bypasses (it traces the fwd rule
+    directly) — so grad-under-shard_map on CPU evaluated the interpret
+    pallas_call body under vma typing and crashed on the first mixed
+    varying/invariant primitive. The gate now lives in a plain wrapper.
+    Equality vs the single-device gradient doubles as fallback-math parity.
+    """
+    cfg = tiny_cfg()
+    params = assoc_mod.init_assoc(jax.random.key(3), cfg)
+    B = 32
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (B, 24)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 24)).astype(np.float32)),
+    ]
+    eps = [
+        jnp.asarray(rng.normal(size=(B, 4)).astype(np.float32)) for _ in range(2)
+    ]
+
+    def loss(p, xs, eps):
+        return assoc_mod.assoc_loss_fn(p, list(xs), cfg, eps=list(eps),
+                                       use_pallas=True)[0]
+
+    g_ref = jax.grad(loss)(params, xs, eps)
+
+    def dp_grad(p, xs, eps):
+        return jax.grad(
+            lambda p: jax.lax.pmean(loss(p, xs, eps), "data")
+        )(p)
+
+    g_dp = jax.jit(
+        jax.shard_map(
+            dp_grad,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=P(),
+        )
+    )(params, xs, eps)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6)
+
+
 def test_dp_step_with_megakernel_learns(mesh, rng):
+    """DP train step with use_pallas='mega' learns. Same coverage note as
+    test_dp_gradient_matches_single_device_megakernel: on the CPU mesh the
+    kernels run their jnp shard_map fallback; the compiled Mosaic path
+    under a mesh is covered on TPU by scripts/smoke_dp_tpu.py."""
     cfg = tiny_cfg()
     tc = TrainConfig(batch_size=64, use_pallas="mega")
     state = init_dp_train_state(cfg, tc, mesh)

@@ -76,11 +76,28 @@ def test_predictor_load_missing_config_raises(tmp_path):
         Predictor.load(str(tmp_path))
 
 
-def test_predictor_warmup_and_limits(model):
+def test_predictor_warmup_and_oversize_chunking(model, rng, monkeypatch):
+    """Batches beyond MAX_BUCKET are split into bucket-size device calls
+    and re-concatenated — a front end must absorb oversize requests, not
+    raise. Row-for-row equal to the unchunked run."""
+    import vae_assoc_tpu.serve as serve_mod
+
     pred = Predictor.from_model(model)
     pred.warmup(buckets=(4,))
-    with pytest.raises(ValueError, match="MAX_BUCKET"):
-        pred.cross_generate(np.zeros((5000, 24), np.float32), 0, 1)
+    x = rng.uniform(0, 1, (21, 24)).astype(np.float32)
+    want_cross = pred.cross_generate(x, 0, 1)
+    want_z = pred.transform([x, x])
+    want_gen = pred.generate(np.asarray(want_z[0]), 1)
+    monkeypatch.setattr(serve_mod, "MAX_BUCKET", 8)  # 21 rows → 3 chunks
+    got_cross = pred.cross_generate(x, 0, 1)
+    assert got_cross.shape == (21, 24)
+    # Chunked [8,D] buckets vs one [32,D] bucket are different XLA
+    # programs; fp32 matmul splits differ at the last-ulp level.
+    np.testing.assert_allclose(got_cross, want_cross, rtol=1e-4, atol=1e-6)
+    got_z = pred.transform([x, x])
+    np.testing.assert_allclose(got_z[0], want_z[0], rtol=1e-4, atol=1e-6)
+    got_gen = pred.generate(np.asarray(want_z[0]), 1)
+    np.testing.assert_allclose(got_gen, want_gen, rtol=1e-4, atol=1e-6)
 
 
 def test_prefetch_batches_covers_epoch(rng):
@@ -145,16 +162,18 @@ def test_microbatcher_matches_direct_and_coalesces(model, rng):
 
 def test_microbatcher_routes_and_chunking(model, rng):
     """Mixed (src, dst) routes batch separately; oversize loads split; a
-    request bigger than max_batch is rejected loudly."""
+    request bigger than max_batch is chunked, not rejected."""
     from vae_assoc_tpu.serve import MicroBatcher
 
     pred = Predictor.from_model(model)
     with MicroBatcher(pred, max_batch=8, max_wait_ms=40.0) as mb:
         a = rng.uniform(0, 1, (3, 24)).astype(np.float32)
         b = rng.normal(size=(5, 24)).astype(np.float32)
+        big = rng.uniform(0, 1, (19, 24)).astype(np.float32)  # 3 chunks
         f1 = mb.submit(a, "image", "trajectory")
         f2 = mb.submit(b, "trajectory", "image")
         f3 = mb.submit(a, 0, 1)  # same route as f1, index spelling
+        f_big = mb.submit(big, 0, 1)
         np.testing.assert_allclose(
             f1.result(timeout=30), pred.cross_generate(a, 0, 1),
             rtol=1e-4, atol=1e-6,
@@ -167,8 +186,59 @@ def test_microbatcher_routes_and_chunking(model, rng):
             f3.result(timeout=30), pred.cross_generate(a, 0, 1),
             rtol=1e-4, atol=1e-6,
         )
-        with pytest.raises(ValueError, match="max_batch"):
-            mb.submit(rng.uniform(0, 1, (9, 24)).astype(np.float32), 0, 1)
+        out_big = f_big.result(timeout=30)
+        assert out_big.shape == (19, 24)
+        np.testing.assert_allclose(
+            out_big, pred.cross_generate(big, 0, 1), rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_microbatcher_submit_close_race_never_hangs(model, rng):
+    """A submit racing close() must either resolve its future or raise
+    'closed' — never orphan a future behind the STOP sentinel (the
+    round-2 shutdown race: unsynchronized _closed check vs close())."""
+    import threading
+
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    x = rng.uniform(0, 1, (1, 24)).astype(np.float32)
+    pred.cross_generate(x, 0, 1)  # warm the bucket: keep the race window tight
+    for _ in range(20):
+        mb = MicroBatcher(pred, max_wait_ms=0.5)
+        futs, errs = [], []
+        barrier = threading.Barrier(3)
+
+        def spam():
+            barrier.wait()
+            for _ in range(25):
+                try:
+                    futs.append(mb.submit(x, 0, 1))
+                except RuntimeError:
+                    errs.append(1)
+                    return
+
+        def closer():
+            barrier.wait()
+            mb.close()
+
+        ts = [threading.Thread(target=spam), threading.Thread(target=spam),
+              threading.Thread(target=closer)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=30)
+            assert not t.is_alive()
+        for f in futs:
+            # Every accepted future must resolve (result or exception) —
+            # a hang here is the race. close() flushes in-flight work, so
+            # results are expected; 'closed' exceptions are acceptable.
+            try:
+                out = f.result(timeout=10)
+                assert out.shape == (1, 24)
+            except RuntimeError:
+                pass
+        mb.close()  # idempotent: second close must not deadlock or re-STOP
 
 
 def test_microbatcher_cancel_and_close_semantics(model, rng):

@@ -178,3 +178,70 @@ def test_tp_misuse_fails_loudly():
     mesh = tp_mesh(2)
     with pytest.raises(ValueError, match="[Pp]allas"):
         make_tp_train_step(cfg, TrainConfig(batch_size=8, use_pallas=True), mesh)
+
+
+def _conv_cfg():
+    """Config-4 shape joint model: conv image tower + MLP trajectory."""
+    img_arch = dict(
+        n_input=784, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+        n_hidden_gener_1=16, n_hidden_gener_2=16,
+    )
+    traj_arch = dict(
+        n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+        n_hidden_gener_1=16, n_hidden_gener_2=16,
+    )
+    return AssocConfig(
+        [
+            ModalityConfig("image", img_arch, recon="bernoulli", encoder="conv"),
+            ModalityConfig("trajectory", traj_arch, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+
+
+def test_tp_conv_tower_matches_single_device(rng):
+    """Round 3: conv towers have Megatron-style channel-split TP specs —
+    scaled conv users keep model parallelism. Trajectory equality vs the
+    single-device step; conv kernels really split over the model axis; the
+    compiled forward still contains the partial-sum all-reduce."""
+    cfg = _conv_cfg()
+    tc = TrainConfig(batch_size=16, learning_rate=1e-3)
+    mesh = tp_mesh(2)
+
+    ref_state = init_train_state(cfg, tc)
+    ref_step = make_train_step(cfg, tc)
+    tp_state = init_tp_train_state(cfg, tc, mesh)
+    tp_step = make_tp_train_step(cfg, tc, mesh)
+
+    w1 = tp_state.params["modalities"][0]["recog"]["conv1"]["w"]  # [3,3,1,32]
+    assert {s.data.shape for s in w1.addressable_shards} == {(3, 3, 1, 16)}
+    w2 = tp_state.params["modalities"][0]["recog"]["conv2"]["w"]  # [3,3,32,64]
+    assert {s.data.shape for s in w2.addressable_shards} == {(3, 3, 16, 64)}
+
+    for _ in range(2):
+        xs = [
+            rng.uniform(0, 1, (16, 784)).astype(np.float32),
+            rng.normal(size=(16, 24)).astype(np.float32),
+        ]
+        ref_state, ref_m = ref_step(ref_state, [jnp.asarray(x) for x in xs])
+        tp_state, tp_m = tp_step(tp_state, shard_tp_batch(mesh, xs))
+        np.testing.assert_allclose(
+            float(ref_m["total"]), float(tp_m["total"]), rtol=2e-5
+        )
+
+    # The conv-stage partial-sum all-reduce must be in the compiled forward.
+    def fwd(params, xs):
+        return assoc_mod.assoc_loss_fn(
+            params, list(xs), cfg,
+            eps=[jnp.zeros((16, 4), jnp.float32) for _ in range(2)],
+        )[0]
+
+    xs = shard_tp_batch(
+        mesh,
+        [
+            rng.uniform(0, 1, (16, 784)).astype(np.float32),
+            rng.normal(size=(16, 24)).astype(np.float32),
+        ],
+    )
+    hlo = jax.jit(fwd).lower(tp_state.params, xs).compile().as_text()
+    assert "all-reduce" in hlo, "conv TP compiled without an all-reduce"

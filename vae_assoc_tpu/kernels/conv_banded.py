@@ -315,6 +315,15 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     """SAME strided conv; matches lax.conv_general_dilated s2 (NHWC/HWIO)."""
     from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
 
+    bsz, h, w_img, cin = x.shape
+    # Evenness check BEFORE the interpret/shard_map fallback: for odd h the
+    # lax fallback would silently return ceil-semantics rows on CPU while
+    # the banded formulation raises on TPU — same inputs must behave
+    # identically in every mode (mirrors kernels/conv.py's ordering).
+    if h % 2 or w_img % 2:
+        raise ValueError(
+            f"conv3x3_s2 requires even spatial dims, got {(h, w_img)}"
+        )
     if _shardmap_interpret(x):
         import jax.lax as lax
 
@@ -324,11 +333,6 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
             x, w_hwio, (2, 2), "SAME", dimension_numbers=_DN,
             precision=_precision(compute_dtype),
         ) + b
-    bsz, h, w_img, cin = x.shape
-    if h % 2 or w_img % 2:
-        raise ValueError(
-            f"conv3x3_s2 requires even spatial dims, got {(h, w_img)}"
-        )
     cout = w_hwio.shape[3]
     oh = ow = h // 2
     hp = h + 2  # rows pad (0,2): row index 2o+dy ≤ h, and hp even for parity

@@ -123,17 +123,24 @@ def _loss_tile(b, arrays, n_live=4):
     return _batch_tile(b, limit=min(limit, 512))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
     """Per-sample loss matrix [B, 2K+1]: recon_0..K, kl_0..K, assoc.
 
     kinds: tuple of "bernoulli"/"gaussian" per modality (static).
     xs/recons: per-modality [B, D_k]; mus/lvs: per-modality [B, n_z].
+
+    The shard_map-on-CPU fallback gate lives HERE, in a plain wrapper,
+    not inside the custom_vjp primal: `jax.grad` traces the fwd rule
+    directly and never runs the primal body, so a gate placed there is
+    silently bypassed under differentiation (the round-3 dryrun's
+    config-5 leg crashed exactly this way — interpret-mode pallas_call
+    body evaluated under vma typing).
     """
     from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
 
     if _shardmap_interpret(xs[0]):
-        # shard_map-on-CPU fallback (see kernels.mlp._shardmap_interpret).
+        # shard_map-on-CPU fallback (see kernels.mlp._shardmap_interpret);
+        # differentiable as-is via the ops.losses autodiff path.
         from vae_assoc_tpu.ops import losses as l
 
         cols = []
@@ -145,6 +152,11 @@ def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
         cols += [l.kl_divergence(m, v) for m, v in zip(mus, lvs)]
         cols.append(l.assoc_loss(list(mus)))
         return jnp.stack(cols, axis=-1)
+    return _loss_terms_pallas(kinds, xs, recons, mus, lvs)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _loss_terms_pallas(kinds, xs, recons, mus, lvs):
     return _loss_fwd(kinds, xs, recons, mus, lvs)[0]
 
 
@@ -207,4 +219,4 @@ def _loss_bwd(kinds, res, g):
     return tuple(dxs), drecons, dmus, dlvs
 
 
-joint_loss_terms_fused.defvjp(_loss_fwd, _loss_bwd)
+_loss_terms_pallas.defvjp(_loss_fwd, _loss_bwd)

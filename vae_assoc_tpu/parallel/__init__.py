@@ -19,6 +19,13 @@ from vae_assoc_tpu.parallel.fsdp import (
     init_fsdp_train_state,
     fsdp_train_loop,
 )
+from vae_assoc_tpu.parallel.tp_fsdp import (
+    tp_fsdp_param_specs,
+    shard_tp_fsdp_train_state,
+    make_tp_fsdp_train_step,
+    init_tp_fsdp_train_state,
+    tp_fsdp_train_loop,
+)
 from vae_assoc_tpu.parallel.tp import (
     tp_param_specs,
     shard_params,
@@ -45,6 +52,11 @@ __all__ = [
     "make_fsdp_train_step",
     "init_fsdp_train_state",
     "fsdp_train_loop",
+    "tp_fsdp_param_specs",
+    "shard_tp_fsdp_train_state",
+    "make_tp_fsdp_train_step",
+    "init_tp_fsdp_train_state",
+    "tp_fsdp_train_loop",
     "tp_param_specs",
     "shard_params",
     "shard_tp_batch",

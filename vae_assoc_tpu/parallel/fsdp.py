@@ -71,7 +71,17 @@ def fsdp_param_specs(
                 return {"w": P(axis, None) if d == 0 else P(None, axis), "b": P()}
         return {"w": P(), "b": P()}
 
-    def tower(arch) -> dict:
+    def conv(cin: int, cout: int) -> dict:
+        # HWIO [3, 3, cin, cout]: shard the larger divisible channel dim
+        # (spatial dims are 3 — never divisible); bias replicated.
+        for d in sorted((2, 3), key=lambda d: (cin, cout)[d - 2], reverse=True):
+            if (cin, cout)[d - 2] % n_shards == 0:
+                spec = [None, None, None, None]
+                spec[d] = axis
+                return {"w": P(*spec), "b": P()}
+        return {"w": P(), "b": P()}
+
+    def mlp_tower(arch) -> dict:
         n_in, n_z = arch["n_input"], arch["n_z"]
         r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
         g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
@@ -85,7 +95,35 @@ def fsdp_param_specs(
             "gener": {"h1": lin(n_z, g1), "h2": lin(g1, g2), "out": lin(g2, n_in)},
         }
 
-    return {"modalities": tuple(tower(m.arch) for m in cfg.modalities)}
+    def conv_tower(arch) -> dict:
+        # Mirrors models.conv.init_conv_vae_params (C1/C2/_FLAT constants).
+        from vae_assoc_tpu.models.conv import C1, C2, _FLAT
+
+        n_z = arch["n_z"]
+        hr, hg = arch["n_hidden_recog_2"], arch["n_hidden_gener_1"]
+        return {
+            "recog": {
+                "conv1": conv(1, C1),
+                "conv2": conv(C1, C2),
+                "dense": lin(_FLAT, hr),
+                "out_mean": lin(hr, n_z),
+                "out_logvar": lin(hr, n_z),
+            },
+            "gener": {
+                "dense1": lin(n_z, hg),
+                "dense2": lin(hg, _FLAT),
+                "convt1": conv(C2, C1),
+                "convt2": conv(C1, 1),
+            },
+        }
+
+    return {
+        "modalities": tuple(
+            conv_tower(m.arch) if m.encoder in ("conv", "conv_pallas")
+            else mlp_tower(m.arch)
+            for m in cfg.modalities
+        )
+    }
 
 
 def _check_fsdp(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
@@ -100,9 +138,9 @@ def _check_fsdp(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
             "(per-shard) arrays and cannot consume fan-in-sharded weights. "
             "Use TrainConfig(use_pallas=False) with FSDP."
         )
-    from vae_assoc_tpu.parallel.tp import _check_mlp_encoders
+    from vae_assoc_tpu.parallel.tp import _check_gspmd_encoders
 
-    _check_mlp_encoders(cfg, "FSDP")
+    _check_gspmd_encoders(cfg, "FSDP")
 
 
 def shard_fsdp_train_state(

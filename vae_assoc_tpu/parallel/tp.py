@@ -72,7 +72,16 @@ def _row(axis: str) -> dict:
 
 
 def tp_param_specs(cfg: AssocConfig, axis: str = mesh_mod.MODEL_AXIS) -> dict:
-    """PartitionSpec pytree matching `models.assoc.init_assoc`'s params."""
+    """PartitionSpec pytree matching `models.assoc.init_assoc`'s params.
+
+    MLP towers get the Megatron column/row pattern described in the
+    module docstring. Conv towers (round 3) get its channel-dim analogue:
+    conv1/convt1 split output channels (`cout → 'model'`, elementwise
+    activations apply locally), conv2/convt2 contract the now-sharded
+    input channels (`cin → 'model'`, XLA inserts the partial-sum
+    all-reduce), the flatten dense layer is column-parallel and the heads
+    row-parallel — same one-all-reduce-per-direction budget per stage.
+    """
 
     def tower() -> dict:
         return {
@@ -85,7 +94,31 @@ def tp_param_specs(cfg: AssocConfig, axis: str = mesh_mod.MODEL_AXIS) -> dict:
             "gener": {"h1": _col(axis), "h2": _row(axis), "out": _REPL},
         }
 
-    return {"modalities": tuple(tower() for _ in cfg.modalities)}
+    def conv_tower() -> dict:
+        cout_split = {"w": P(None, None, None, axis), "b": P(axis)}
+        cin_split = {"w": P(None, None, axis, None), "b": P()}
+        return {
+            "recog": {
+                "conv1": cout_split,
+                "conv2": cin_split,
+                "dense": _col(axis),
+                "out_mean": _row(axis),
+                "out_logvar": _row(axis),
+            },
+            "gener": {
+                "dense1": _col(axis),
+                "dense2": _row(axis),
+                "convt1": cout_split,
+                "convt2": cin_split,
+            },
+        }
+
+    return {
+        "modalities": tuple(
+            conv_tower() if m.encoder == "conv" else tower()
+            for m in cfg.modalities
+        )
+    }
 
 
 def shard_params(mesh: Mesh, params: dict, cfg: AssocConfig) -> dict:
@@ -96,19 +129,22 @@ def shard_params(mesh: Mesh, params: dict, cfg: AssocConfig) -> dict:
     )
 
 
-def _check_mlp_encoders(cfg: AssocConfig, what: str) -> None:
-    """The GSPMD spec trees mirror the MLP param structure; conv towers have
-    a different tree (conv1/conv2/dense/...) and no sharding rules yet."""
-    bad = [m.name for m in cfg.modalities if m.encoder != "mlp"]
+def _check_gspmd_encoders(cfg: AssocConfig, what: str) -> None:
+    """The GSPMD layouts cover the jnp model paths: 'mlp' and 'conv' (XLA
+    convs — round 3 added conv-tower sharding rules). 'conv_pallas' routes
+    the model itself through single-chip Pallas kernels, which do not
+    split along feature dims under the partitioner."""
+    bad = [m.name for m in cfg.modalities if m.encoder not in ("mlp", "conv")]
     if bad:
         raise ValueError(
-            f"{what} sharding specs only cover encoder='mlp' modalities; "
-            f"got non-MLP encoders for {bad}"
+            f"{what} sharding specs cover encoder='mlp' and 'conv' "
+            f"modalities; got Pallas-kernel encoders for {bad} — use "
+            "encoder='conv' (XLA convs) with sharded layouts"
         )
 
 
 def _check_tp_mesh(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
-    _check_mlp_encoders(cfg, "TP")
+    _check_gspmd_encoders(cfg, "TP")
     if mesh_mod.MODEL_AXIS not in mesh.axis_names:
         raise ValueError(
             f"TP needs a mesh with a '{mesh_mod.MODEL_AXIS}' axis — build one "

@@ -120,8 +120,7 @@ class Predictor:
     # -- bucketing -----------------------------------------------------------
     def _pad(self, x: np.ndarray):
         n = x.shape[0]
-        if n > MAX_BUCKET:
-            raise ValueError(f"batch {n} exceeds MAX_BUCKET={MAX_BUCKET}")
+        assert n <= MAX_BUCKET  # endpoints chunk before padding
         b = _bucket(n)
         if b == n:
             return jnp.asarray(x), n
@@ -129,19 +128,37 @@ class Predictor:
         return jnp.asarray(np.concatenate([np.asarray(x), pad], 0)), n
 
     # -- endpoints -----------------------------------------------------------
+    # Batches larger than MAX_BUCKET are split into MAX_BUCKET-row device
+    # calls and re-concatenated — a serving front end must absorb oversize
+    # requests, not 500 on them. Each chunk hits the already-warm largest
+    # bucket, so no new compiles happen.
     def transform(self, xs: Sequence[np.ndarray]):
-        """Per-modality latent means; accepts any batch size ≤ MAX_BUCKET."""
-        padded = [self._pad(np.asarray(x)) for x in xs]
+        """Per-modality latent means; accepts any batch size."""
+        xs = [np.asarray(x) for x in xs]
+        n = xs[0].shape[0]
+        if n > MAX_BUCKET:
+            parts = [
+                self.transform([x[lo : lo + MAX_BUCKET] for x in xs])
+                for lo in range(0, n, MAX_BUCKET)
+            ]
+            return tuple(np.concatenate(p, 0) for p in zip(*parts))
+        padded = [self._pad(x) for x in xs]
         zs = self._transform(self.params, [p for p, _ in padded])
         return tuple(np.asarray(z)[:n] for z, (_, n) in zip(zs, padded))
 
     def generate(self, z, modality: Union[int, str]):
-        zp, n = self._pad(np.asarray(z))
+        z = np.asarray(z)
         # Normalize names → indices BEFORE the jit call: modality is a
         # static arg, so "image" and 0 would otherwise compile (and cache)
         # separately — a warmed-up server would still pay a fresh XLA
         # compile on the first name-addressed request.
         modality = self.cfg.modality_index(modality)
+        if z.shape[0] > MAX_BUCKET:
+            return np.concatenate(
+                [self.generate(z[lo : lo + MAX_BUCKET], modality)
+                 for lo in range(0, z.shape[0], MAX_BUCKET)], 0
+            )
+        zp, n = self._pad(z)
         return np.asarray(self._generate(self.params, zp, modality=modality))[:n]
 
     def reconstruct(self, x, modality: Union[int, str]):
@@ -149,9 +166,15 @@ class Predictor:
         return self.cross_generate(x, i, i)
 
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
-        xp, n = self._pad(np.asarray(x))
+        x = np.asarray(x)
         src = self.cfg.modality_index(src)  # see generate(): names → indices
         dst = self.cfg.modality_index(dst)
+        if x.shape[0] > MAX_BUCKET:
+            return np.concatenate(
+                [self.cross_generate(x[lo : lo + MAX_BUCKET], src, dst)
+                 for lo in range(0, x.shape[0], MAX_BUCKET)], 0
+            )
+        xp, n = self._pad(x)
         return np.asarray(self._cross(self.params, xp, src=src, dst=dst))[:n]
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:
@@ -162,6 +185,38 @@ class Predictor:
                 x = np.zeros((b, self.cfg.modalities[i].arch["n_input"]), np.float32)
                 for j in range(k):
                     self.cross_generate(x, i, j)
+
+
+def _join_futures(futs):
+    """Future resolving to the row-concatenation of `futs` results.
+
+    First chunk exception wins; chunk order is preserved regardless of
+    completion order.
+    """
+    import threading
+    from concurrent.futures import Future
+
+    agg: Future = Future()
+    results = [None] * len(futs)
+    state = {"pending": len(futs)}
+    lock = threading.Lock()
+
+    def _cb(i, f):
+        exc = f.exception()
+        with lock:
+            if agg.done():
+                return
+            if exc is not None:
+                agg.set_exception(exc)
+                return
+            results[i] = f.result()
+            state["pending"] -= 1
+            if state["pending"] == 0:
+                agg.set_result(np.concatenate(results, axis=0))
+
+    for i, f in enumerate(futs):
+        f.add_done_callback(functools.partial(_cb, i))
+    return agg
 
 
 class MicroBatcher:
@@ -201,29 +256,45 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue()
         self.dispatches = 0  # device calls made (observability + tests)
         self._closed = False
+        # Serializes the closed-check+enqueue against close(): without it a
+        # submit() that passes the _closed check concurrently with close()
+        # can land its request BEHIND the STOP sentinel — the worker has
+        # already returned and that future would never resolve.
+        self._lock = threading.Lock()
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
-    def submit(self, x, src: Union[int, str], dst: Union[int, str]):
-        """Enqueue one request; returns a concurrent.futures.Future."""
+    def _enqueue(self, route, chunks):
+        """Atomically (w.r.t. close) enqueue one future per chunk."""
         from concurrent.futures import Future
 
-        if self._closed:
-            # Without this, a post-close request would sit behind the STOP
-            # sentinel forever and its future would never resolve.
-            raise RuntimeError("MicroBatcher is closed")
+        futs = [Future() for _ in chunks]
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            for x, fut in zip(chunks, futs):
+                self._q.put((route, x, fut))
+        return futs
+
+    def submit(self, x, src: Union[int, str], dst: Union[int, str]):
+        """Enqueue one request; returns a concurrent.futures.Future.
+
+        Requests larger than max_batch are split into max_batch-row chunks
+        enqueued atomically; the returned future resolves to the
+        re-concatenated result (or the first chunk's exception).
+        """
         x = np.asarray(x)
         if x.ndim != 2:
             raise ValueError(f"expected [n, features] request, got {x.shape}")
-        if x.shape[0] > self.max_batch:
-            raise ValueError(f"request of {x.shape[0]} rows > max_batch")
         route = (
             self.predictor.cfg.modality_index(src),
             self.predictor.cfg.modality_index(dst),
         )
-        fut: Future = Future()
-        self._q.put((route, x, fut))
-        return fut
+        if x.shape[0] <= self.max_batch:
+            return self._enqueue(route, [x])[0]
+        chunks = [x[lo : lo + self.max_batch]
+                  for lo in range(0, x.shape[0], self.max_batch)]
+        return _join_futures(self._enqueue(route, chunks))
 
     def cross_generate(self, x, src, dst):
         """Blocking convenience wrapper over `submit`."""
@@ -293,10 +364,19 @@ class MicroBatcher:
             lo += x.shape[0]
 
     def close(self):
-        """Flush in-flight requests and stop the worker thread."""
-        self._closed = True
-        self._q.put(self._STOP)
+        """Flush in-flight requests and stop the worker thread. Idempotent."""
+        with self._lock:
+            if not self._closed:
+                self._closed = True
+                self._q.put(self._STOP)
         self._thread.join()
+        # Defense in depth: the lock makes a post-STOP enqueue impossible,
+        # but if one ever slipped through, fail its future loudly rather
+        # than leave a caller blocked on .result() forever.
+        while not self._q.empty():
+            item = self._q.get_nowait()
+            if item is not self._STOP and not item[2].done():
+                item[2].set_exception(RuntimeError("MicroBatcher is closed"))
 
     def __enter__(self):
         return self

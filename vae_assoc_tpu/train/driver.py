@@ -73,7 +73,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fsdp", action="store_true",
                    help="with --mesh N, shard params + optimizer state over "
                         "the data axis (ZeRO-style, parallel/fsdp.py) "
-                        "instead of replicating them")
+                        "instead of replicating them; combine with "
+                        "--model-parallel K for the TP×FSDP layout "
+                        "(parallel/tp_fsdp.py)")
     return p
 
 
@@ -122,6 +124,16 @@ def main(argv=None) -> int:
         overrides["compute_dtype"] = jnp.bfloat16
     if args.use_pallas:
         overrides["use_pallas"] = True
+    if args.fsdp or args.model_parallel > 1:
+        # TP/FSDP lay out the jnp step (GSPMD shardings on the plain model
+        # path). The *effective* kernel choice comes from the config, not
+        # the CLI flag — config 5 defaults use_pallas=True, so without
+        # this override `--config 5 --fsdp` would pass the arg-level guard
+        # below and then crash in _check_fsdp/_check_tp_mesh.
+        if args.use_pallas:
+            raise SystemExit("--model-parallel/--fsdp run the jnp model "
+                             "path (no --use-pallas)")
+        overrides["use_pallas"] = False
     cfg, tc = baseline_config(args.config, **overrides)
     k = len(cfg.modalities)
 
@@ -153,22 +165,28 @@ def main(argv=None) -> int:
             make_mesh,
             replicate,
             shard_fsdp_train_state,
+            shard_tp_fsdp_train_state,
+            tp_fsdp_train_loop,
             tp_train_loop,
         )
         from vae_assoc_tpu.parallel.tp import shard_tp_train_state
 
         if mp > 1 and args.fsdp:
-            raise SystemExit("--model-parallel and --fsdp are mutually "
-                             "exclusive layouts")
-        if mp > 1:
-            if args.use_pallas:
+            # Combined layout: Megatron model-axis weight splits + ZeRO
+            # data-axis sharding of everything TP leaves unsharded
+            # (parallel/tp_fsdp.py).
+            mesh = make_mesh(n_mesh, model_axis="model", model_parallel=mp)
+            print(f"tensor-parallel x FSDP over a {n_mesh // mp}x{mp} "
+                  "(data, model) mesh", flush=True)
+        elif mp > 1:
+            if tc.use_pallas:  # defense: the override above forces False
                 raise SystemExit("--model-parallel runs the jnp model path "
                                  "(no --use-pallas)")
             mesh = make_mesh(n_mesh, model_axis="model", model_parallel=mp)
             print(f"data×tensor parallel over a {n_mesh // mp}x{mp} "
                   "(data, model) mesh", flush=True)
         elif args.fsdp:
-            if args.use_pallas:
+            if tc.use_pallas:  # defense: the override above forces False
                 raise SystemExit("--fsdp runs the jnp model path "
                                  "(no --use-pallas)")
             mesh = make_mesh(n_mesh)
@@ -187,7 +205,9 @@ def main(argv=None) -> int:
         state = ckpt.restore(args.ckpt_dir, state)
         print(f"resumed from step {int(state.step)}", flush=True)
     if mesh is not None:
-        if mp > 1:
+        if mp > 1 and args.fsdp:
+            state = shard_tp_fsdp_train_state(mesh, state, cfg, tc)
+        elif mp > 1:
             state = shard_tp_train_state(mesh, state, cfg, tc)
         elif args.fsdp:
             state = shard_fsdp_train_state(mesh, state, cfg, tc)
@@ -198,6 +218,9 @@ def main(argv=None) -> int:
 
     def run(state, epochs):
         if mesh is not None:
+            if mp > 1 and args.fsdp:
+                return tp_fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs,
+                                          state=state)
             if mp > 1:
                 return tp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             if args.fsdp:
