@@ -115,14 +115,11 @@ def build_all(ws):
     for w, bands in (
         (w1, cb._band_mats_s2(28, 14)),
         (w2, cb._band_mats_s2(14, 7)),
+        (wt1, cb._band_mats_t2(7)),
+        (wt2, cb._band_mats_t2(14)),
     ):
         cin, cout = w.shape[2], w.shape[3]
-        for dy in range(3):
-            tot += jnp.sum(cb._build_m(w, dy, bands, cin, cout))
-    for w, bands in ((wt1, cb._band_mats_t2(7)), (wt2, cb._band_mats_t2(14))):
-        cin, cout = w.shape[2], w.shape[3]
-        for dy in range(3):
-            tot += jnp.sum(cb._build_m(w, dy, bands, cin, cout))
+        tot += jnp.sum(cb._build_ms(w, bands, cin, cout))
     return tot
 
 

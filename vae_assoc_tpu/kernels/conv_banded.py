@@ -23,13 +23,16 @@ parity or contiguous) happens inside the kernel via reshape/slice; the
 band structure costs redundant multiply-by-zero FLOPs (≈3–6×) which the
 MXU absorbs far more cheaply than the im2col layout waste.
 
-Gradients: the generic primitive `_banded` has a custom VJP —
-dx-row-groups are the same banded matmuls against Mᵀ (re-embedded into
-rows by pad/stack/reshape in XLA), dM is rowsᵀ@g accumulated across batch
-tiles — and the M matrices are built from `w` by differentiable outer
-products against constant 0/1 band matrices (see `_build_m`), so
-`jax.grad` w.r.t. the HWIO kernel flows end-to-end with no conv-specific
-gradient calculus.
+Gradients: the generic primitive `_banded` has a custom VJP that runs
+ENTIRELY in XLA — dx-row-groups are the same banded matmuls against Mᵀ
+(re-embedded into rows by pad/stack/reshape), dM is a `bok,boN->kN`
+einsum per entry with the zero pad rows sliced away (`_entry_orange`).
+A round-2 Pallas dM kernel was measured and removed: keeping Ms + the dM
+accumulator VMEM-resident squeezed backward batch tiles to 8 rows and
+starved the MXU (ledger in docs/PERF.md). The M matrices are built from
+`w` by differentiable outer products against constant 0/1 band matrices
+(see `_build_m`), so `jax.grad` w.r.t. the HWIO kernel flows end-to-end
+with no conv-specific gradient calculus.
 
 Public drop-ins mirror kernels/conv.py: `conv3x3_s2`, `convt3x3_s2`,
 `encode_conv_fused`, `decode_conv_fused` (parity:
@@ -51,8 +54,6 @@ from vae_assoc_tpu.kernels.mlp import (
     _interpret,
     _lane,
     _mm,
-    _mm_nt,
-    _mm_tn,
     _pow2_tile,
     _pvary_like,
     _sds,
@@ -74,9 +75,15 @@ def _sub(n):
 
 
 # ---------------------------------------------------------------------------
-# Generic banded primitive: xp3 [B, hp, K] × Ms [G, K, N] → OG × [B, oh, N]
+# Generic banded primitive: x3 [B, h, K] × Ms [G, K, N] → OG × [B, oh, N]
+# (or ONE interleaved [B, oh, OG, N] when interleave=True).
 # plan: static tuple of output groups; each group a tuple of entries
-# (start_row, row_stride ∈ {1,2}, m_index).
+# (start_row, row_stride ∈ {1,2}, m_index) — row indices into the
+# row-padded [B, lo+h+hi, K] view, which is built INSIDE the kernel
+# (`pad=(lo, hi)` zero rows concatenated in VMEM) so the padded copy
+# never round-trips HBM: at config-4 batch 2048 the conv1 xp3
+# materialization alone was ~190 MB/step (measured ledger in
+# docs/PERF.md "Conv kernels").
 # ---------------------------------------------------------------------------
 
 
@@ -90,14 +97,36 @@ def _select_rows(x, start, stride, oh):
     return rows.reshape(tile * oh, k)
 
 
-def _banded_fwd_kernel(plan, oh, cd, nrows, x_ref, m_ref, *o_refs):
-    x = x_ref[:]
+def _pad_rows(x, pad):
+    """Concatenate `pad=(lo, hi)` zero rows in VMEM (axis 1 of the tile)."""
+    lo, hi = pad
+    if not (lo or hi):
+        return x
+    tile, _, k = x.shape
+    parts = []
+    if lo:
+        parts.append(jnp.zeros((tile, lo, k), x.dtype))
+    parts.append(x)
+    if hi:
+        parts.append(jnp.zeros((tile, hi, k), x.dtype))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _banded_fwd_kernel(plan, oh, cd, nrows, pad, interleave, x_ref, m_ref, *o_refs):
+    x = _pad_rows(x_ref[:], pad)
     for og, entries in enumerate(plan):
         acc = None
         for start, stride, mi in entries:
             t = _mm(_select_rows(x, start, stride, oh), m_ref[mi], cd)
             acc = t if acc is None else acc + t
-        o_refs[og][:] = acc.reshape(x.shape[0], oh, -1)
+        out = acc.reshape(x.shape[0], oh, -1)
+        if interleave:
+            # Row-parity groups write their slot of ONE [tile, oh, OG, N]
+            # output — the caller's reshape to [B, OG·oh, N] is then a
+            # free dim-merge instead of a stack+reshape HBM copy.
+            o_refs[0][:, :, og, :] = out
+        else:
+            o_refs[og][:] = out
 
 
 def _embed_rows(contrib, start, stride, oh, hp):
@@ -111,38 +140,6 @@ def _embed_rows(contrib, start, stride, oh, hp):
     d = jnp.stack(pair, axis=2).reshape(tile, 2 * oh, k)
     top = 2 * (start // 2)
     return jnp.pad(d, ((0, 0), (top, hp - top - 2 * oh), (0, 0)))
-
-
-def _banded_bwd_kernel(plan, oh, cd, nrows, x_ref, g_refs_and_outs):
-    n_og = len(plan)
-    g_refs = g_refs_and_outs[:n_og]
-    m_ref = g_refs_and_outs[n_og]
-    dm_ref = g_refs_and_outs[n_og + 1]
-    x = x_ref[:]
-    tile = x.shape[0]
-    ragged = nrows % tile
-    if ragged:
-        from vae_assoc_tpu.kernels.mlp import _row_mask
-
-        valid3 = _row_mask(tile, nrows)[:, :, None]
-        x = jnp.where(valid3, x, 0.0)
-    first = pl.program_id(0) == 0
-    for og, entries in enumerate(plan):
-        g = g_refs[og][:]
-        if ragged:
-            g = jnp.where(valid3, g, 0.0)
-        g2 = g.reshape(tile * oh, -1)
-        for start, stride, mi in entries:
-            rows = _select_rows(x, start, stride, oh)
-            acc = _mm_tn(rows, g2, cd)
-
-            @pl.when(first)
-            def _(mi=mi, acc=acc):
-                dm_ref[mi] = acc
-
-            @pl.when(jnp.logical_not(first))
-            def _(mi=mi, acc=acc):
-                dm_ref[mi] += acc
 
 
 def _tile_for(b, hp, k, n_lanes, m_bytes, n_og, oh, extra_n=3, extra_k=2):
@@ -164,80 +161,110 @@ def _tile_for(b, hp, k, n_lanes, m_bytes, n_og, oh, extra_n=3, extra_k=2):
     return max(8, tile)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _banded(xp3, ms, plan, oh, cd):
-    return _banded_fwd(xp3, ms, plan, oh, cd)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _banded(x3, ms, plan, oh, cd, pad=(0, 0), interleave=False):
+    return _banded_fwd(x3, ms, plan, oh, cd, pad, interleave)[0]
 
 
-def _banded_fwd(xp3, ms, plan, oh, cd):
-    b, hp, k = xp3.shape
+def _banded_fwd(x3, ms, plan, oh, cd, pad, interleave):
+    b, h, k = x3.shape
+    hp = h + pad[0] + pad[1]
     g, _, n = ms.shape
+    n_og = len(plan)
     m_bytes = 4 * g * _sub(k) * _lane(n)
-    tile = _tile_for(b, hp, k, n, m_bytes, len(plan), oh)
-    outs = pl.pallas_call(
-        functools.partial(_banded_fwd_kernel, plan, oh, cd, b),
-        grid=(pl.cdiv(b, tile),),
-        in_specs=[
-            pl.BlockSpec((tile, hp, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=tuple(
+    tile = _tile_for(b, hp, k, n, m_bytes, n_og, oh)
+    if interleave:
+        out_specs = pl.BlockSpec(
+            (tile, oh, n_og, n), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = _sds((b, oh, n_og, n), jnp.float32, x3)
+    else:
+        out_specs = tuple(
             pl.BlockSpec((tile, oh, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
             for _ in plan
-        ),
-        out_shape=tuple(
-            _sds((b, oh, n), jnp.float32, xp3) for _ in plan
-        ),
-        interpret=_interpret(),
-    )(xp3, ms)
-    return tuple(outs), (xp3, ms)
-
-
-def _banded_bwd(plan, oh, cd, res, gs):
-    xp3, ms = res
-    b, hp, k = xp3.shape
-    g, _, n = ms.shape
-    m_bytes = 4 * g * _sub(k) * _lane(n)
-    tile = _tile_for(b, hp, k, n, 2 * m_bytes, len(plan), oh, extra_n=4, extra_k=3)
-
-    def kern(x_ref, *rest):
-        _banded_bwd_kernel(plan, oh, cd, b, x_ref, rest)
-
-    dm = pl.pallas_call(
-        kern,
+        )
+        out_shape = tuple(_sds((b, oh, n), jnp.float32, x3) for _ in plan)
+    outs = pl.pallas_call(
+        functools.partial(_banded_fwd_kernel, plan, oh, cd, b, pad, interleave),
         grid=(pl.cdiv(b, tile),),
-        in_specs=(
-            [pl.BlockSpec((tile, hp, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
-            + [
-                pl.BlockSpec((tile, oh, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-                for _ in plan
-            ]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)]
-        ),
-        out_specs=pl.BlockSpec((g, k, n), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=_sds((g, k, n), jnp.float32, xp3),
+        in_specs=[
+            pl.BlockSpec((tile, h, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(xp3, *gs, ms)
+    )(x3, ms)
+    if interleave:
+        outs = (outs,)
+    return tuple(outs), (x3, ms)
 
-    # dx: same banded matmuls against Mᵀ, re-embedded into input rows.
-    # Done in XLA (a [B, oh, N] @ [N, K] einsum per entry + pad/stack adds)
-    # — the matmuls hit the MXU via XLA and fuse with the surrounding
-    # elementwise ops; keeping them out of the kernel spares the kernel a
-    # [tile, hp, K] accumulator and keeps backward tiles large.
-    dx = jnp.zeros_like(xp3)
+
+def _entry_orange(start, stride, oh, h, lo):
+    """Output-row subrange [o_lo, o_hi) of an entry whose padded row
+    start + stride·o maps to a REAL input row (start + stride·o − lo ∈
+    [0, h)); rows outside are the zero padding and contribute nothing."""
+    import math
+
+    o_lo = max(0, math.ceil((lo - start) / stride))
+    o_hi = min(oh, (lo + h - 1 - start) // stride + 1)
+    return o_lo, o_hi
+
+
+def _banded_bwd(plan, oh, cd, pad, interleave, res, gs):
+    """Whole backward in XLA — no backward pallas_call.
+
+    Round-2 computed dM in a Pallas kernel; the measured ledger
+    (docs/PERF.md "Conv kernels") showed why that loses: Ms plus the dM
+    accumulator must stay VMEM-resident across the whole grid (≈8.4 MB at
+    conv1), which squeezes the batch tile to 8 rows — 256 sequential
+    112-row matmuls that starve the MXU (backward measured 4.1 ms vs
+    XLA conv backward 0.3 ms at batch 2048). As plain `bok,boN->kN`
+    einsums XLA tiles the same contraction freely; the zero pad rows are
+    *sliced away* (`_entry_orange`) instead of materialized, and the dx
+    matmuls fuse with the surrounding elementwise ops.
+    """
+    x3, ms = res
+    b, h, k = x3.shape
+    lo, _ = pad
+    hp = h + pad[0] + pad[1]
+    n = ms.shape[2]
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if jnp.dtype(cd) == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    dm_parts = [None] * ms.shape[0]
+    dxp = jnp.zeros((b, hp, k), x3.dtype)
     for og, entries in enumerate(plan):
-        g2 = gs[og].astype(jnp.float32)
+        g2 = (gs[0][:, :, og, :] if interleave else gs[og]).astype(jnp.float32)
         for start, stride, mi in entries:
-            prec = (
-                jax.lax.Precision.HIGHEST
-                if jnp.dtype(cd) == jnp.float32
-                else jax.lax.Precision.DEFAULT
+            # dM_mi += rows(x)ᵀ @ g over the valid output rows only.
+            o_lo, o_hi = _entry_orange(start, stride, oh, h, lo)
+            r0 = start + stride * o_lo - lo
+            # limit clamps to h: the last used index r0 + stride·(cnt−1)
+            # is < h by construction, so the clamp never drops a row.
+            xrows = jax.lax.slice_in_dim(
+                x3, r0, min(h, r0 + stride * (o_hi - o_lo)), stride=stride,
+                axis=1,
             )
-            contrib = jnp.einsum(
+            contrib_m = jnp.einsum(
+                "bok,boN->kN", xrows, g2[:, o_lo:o_hi, :], precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            dm_parts[mi] = (
+                contrib_m if dm_parts[mi] is None else dm_parts[mi] + contrib_m
+            )
+            # dx: the same banded matmul against Mᵀ, re-embedded into rows.
+            contrib_x = jnp.einsum(
                 "boN,kN->bok", g2, ms[mi], precision=prec,
                 preferred_element_type=jnp.float32,
             )
-            dx = dx + _embed_rows(contrib, start, stride, oh, hp)
+            dxp = dxp + _embed_rows(contrib_x, start, stride, oh, hp)
+    assert all(p is not None for p in dm_parts)  # both plans use every M_dy
+    dm = jnp.stack(dm_parts)
+    dx = dxp[:, lo : lo + h, :] if (pad[0] or pad[1]) else dxp
     return dx, dm
 
 
@@ -306,6 +333,19 @@ def _build_m(w_hwio, dy, band_mats, cin, cout):
     return m.reshape(ncols * cin, ow * cout)
 
 
+def _build_ms(w_hwio, band_mats, cin, cout):
+    """All three M_dy in ONE einsum: [3, ncols·cin, ow·cout].
+
+    Equivalent to ``stack([_build_m(w, dy, ...) for dy])`` but a single
+    XLA op instead of 9 small outer-product launches per conv — the
+    per-step band build measured ~0.6 ms/step across config-4's four
+    convs, dominated by launch overhead, not FLOPs (docs/PERF.md)."""
+    bands = jnp.stack([jnp.asarray(b) for b in band_mats])  # [3dx, ncols, ow]
+    ms = jnp.einsum("xcp,yxio->ycipo", bands, w_hwio)
+    ncols, ow = band_mats[0].shape
+    return ms.reshape(_K, ncols * cin, ow * cout)
+
+
 # ---------------------------------------------------------------------------
 # Layer ops (drop-ins for kernels/conv.py)
 # ---------------------------------------------------------------------------
@@ -335,14 +375,16 @@ def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
         ) + b
     cout = w_hwio.shape[3]
     oh = ow = h // 2
-    hp = h + 2  # rows pad (0,2): row index 2o+dy ≤ h, and hp even for parity
-    xp = jnp.pad(x, ((0, 0), (0, 2), (0, 0), (0, 0)))
-    xp3 = xp.reshape(bsz, hp, w_img * cin)
+    # Rows logically pad (0,2) — row index 2o+dy ≤ h+1, and hp even for
+    # parity — but the padded copy is built INSIDE the kernel (pad=(0,2)),
+    # so the [B, hp, K] array never materializes in HBM; the reshape below
+    # is a free dim-merge.
+    x3 = x.reshape(bsz, h, w_img * cin)
     bands = _band_mats_s2(w_img, ow)
-    ms = jnp.stack([_build_m(w_hwio, dy, bands, cin, cout) for dy in range(_K)])
+    ms = _build_ms(w_hwio, bands, cin, cout)
     plan = (((0, 2, 0), (1, 2, 1), (2, 2, 2)),)
-    (ms,) = _pvary_like([ms], xp3)
-    (out,) = _banded(xp3, ms, plan, oh, jnp.dtype(compute_dtype).name)
+    (ms,) = _pvary_like([ms], x3)
+    (out,) = _banded(x3, ms, plan, oh, jnp.dtype(compute_dtype).name, (0, 2))
     return out.reshape(bsz, oh, ow, cout) + b
 
 
@@ -367,17 +409,23 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     bsz, h, w_img, cin = x.shape
     cout = w_hwio.shape[3]
     oh_total = 2 * h
-    hp = h + 2
     kk, nn = (w_img + 2) * cin, 2 * w_img * cout  # cols padded (1,1) into K
-    xp3 = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0))).reshape(bsz, hp, kk)
+    # Cols pad (1,1) in XLA (one fused copy — the lane-dim zeros cannot be
+    # concatenated row-wise in VMEM); rows pad (1,1) inside the kernel.
+    x3 = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(bsz, h, kk)
     bands = _band_mats_t2(w_img)
-    ms = jnp.stack([_build_m(w_hwio, dy, bands, cin, cout) for dy in range(_K)])
+    ms = _build_ms(w_hwio, bands, cin, cout)
     # Groups: even rows (dy 0 at rows q, dy 2 at rows q+1), odd rows (dy 1
     # at rows q+1); all stride-1 contiguous row slices of length h.
+    # interleave=True: the kernel writes both parity groups into ONE
+    # [B, h, 2, nn] output, so the row interleave below is a free
+    # dim-merge instead of a stack+reshape HBM copy (~205 MB/step for
+    # convt1 at batch 2048 — measured ledger in docs/PERF.md).
     plan = (((0, 1, 0), (1, 1, 2)), ((1, 1, 1),))
-    (ms,) = _pvary_like([ms], xp3)
-    even, odd = _banded(xp3, ms, plan, h, jnp.dtype(compute_dtype).name)
-    out = jnp.stack([even, odd], axis=2).reshape(bsz, oh_total, nn)
+    (ms,) = _pvary_like([ms], x3)
+    (out,) = _banded(
+        x3, ms, plan, h, jnp.dtype(compute_dtype).name, (1, 1), True
+    )
     return out.reshape(bsz, oh_total, 2 * w_img, cout) + b
 
 
