@@ -69,6 +69,16 @@ from vae_assoc_tpu.models.conv import (
 
 _K = 3
 
+# Edge convs (cin==1 / cout==1) CAN dispatch to the whole-geometry dense
+# formulation (kernels/conv_dense.py). Measured round 3: wins in layer
+# isolation (tower fwd 1.84 → 1.13 ms) but LOSES ~5% end-to-end in the
+# full train step (same-process interleaved A/B: hybrid 14.48 ms vs pure
+# banded 13.73 ms at batch 2048) — a context/scheduling effect the
+# isolated measurement cannot see. Default off per the perf convention
+# (negative results recorded in docs/PERF.md, change reverted); the knob
+# stays for A/B reproduction (scripts/bench_conv_dense.py).
+DENSE_EDGES = False
+
 
 def _sub(n):
     return ((n + 7) // 8) * 8
@@ -352,10 +362,21 @@ def _build_ms(w_hwio, band_mats, cin, cout):
 
 
 def conv3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
-    """SAME strided conv; matches lax.conv_general_dilated s2 (NHWC/HWIO)."""
+    """SAME strided conv; matches lax.conv_general_dilated s2 (NHWC/HWIO).
+
+    cin == 1 dispatches to the whole-geometry dense formulation
+    (kernels/conv_dense.py): a 1-channel input leaves K = w lanes of a
+    128-lane tile — MXU-hostile in any channels-on-lanes formulation —
+    while the single dense matmul's ~40× FLOP balloon is still tiny for
+    the MXU and fuses with neighbors (measured: scripts/bench_conv_dense.py).
+    """
+    bsz, h, w_img, cin = x.shape
+    if cin == 1 and DENSE_EDGES:
+        from vae_assoc_tpu.kernels.conv_dense import conv3x3_s2_dense
+
+        return conv3x3_s2_dense(x, w_hwio, b, compute_dtype=compute_dtype)
     from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
 
-    bsz, h, w_img, cin = x.shape
     # Evenness check BEFORE the interpret/shard_map fallback: for odd h the
     # lax fallback would silently return ceil-semantics rows on CPU while
     # the banded formulation raises on TPU — same inputs must behave
@@ -394,7 +415,15 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     Output-row-parity decomposition on the undilated input: even output
     rows 2q sum taps dy∈{0,2} over input rows (q, q+1); odd rows 2q+1
     take dy=1 at input row q+1 (rows pre-padded by (1,1)).
+
+    cout == 1 dispatches to the whole-geometry dense formulation — the
+    1-channel output side is the mirror of conv3x3_s2's cin == 1 case
+    (measured: scripts/bench_conv_dense.py).
     """
+    if w_hwio.shape[3] == 1 and DENSE_EDGES:
+        from vae_assoc_tpu.kernels.conv_dense import convt3x3_s2_dense
+
+        return convt3x3_s2_dense(x, w_hwio, b, compute_dtype=compute_dtype)
     from vae_assoc_tpu.kernels.mlp import _shardmap_interpret
 
     if _shardmap_interpret(x):
