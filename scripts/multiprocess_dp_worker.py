@@ -115,6 +115,27 @@ def main(proc: int, nproc: int, port: str) -> int:
         total = float(jax.device_get(metrics["total"]))
         print(f"TPMETRICS {proc} {step} {total:.6f}", flush=True)
 
+    # Phase 3 — cross-process combined TP×FSDP (round 3): same 2-D mesh,
+    # one spec tree carrying BOTH the Megatron model-axis splits and the
+    # ZeRO data-axis shards — so the JIT weight all-gathers and gradient
+    # reduce-scatters now also cross the process boundary.
+    from vae_assoc_tpu.parallel import make_tp_fsdp_train_step
+    from vae_assoc_tpu.parallel.tp_fsdp import shard_tp_fsdp_train_state
+
+    cf_state = shard_tp_fsdp_train_state(mesh2, init_train_state(cfg, tc), cfg, tc)
+    cf_step = make_tp_fsdp_train_step(cfg, tc, mesh2)
+    rng3 = np.random.default_rng(13)  # same stream in every process
+    for step in range(2):
+        x_img = rng3.uniform(0, 1, (tc.batch_size, 24)).astype(np.float32)
+        x_traj = rng3.normal(size=(tc.batch_size, 24)).astype(np.float32)
+        xs = tuple(
+            jax.make_array_from_process_local_data(spec2, d[lo : lo + rows_here])
+            for d in (x_img, x_traj)
+        )
+        cf_state, metrics = cf_step(cf_state, xs)
+        total = float(jax.device_get(metrics["total"]))
+        print(f"TFMETRICS {proc} {step} {total:.6f}", flush=True)
+
     print(f"DONE {proc}", flush=True)
     return 0
 

@@ -171,3 +171,38 @@ def test_two_process_dp_matches_single_process():
         tp_state, metrics = tp_step(tp_state, xs)
         tp_ref.append(float(jax.device_get(metrics["total"])))
     np.testing.assert_allclose(tp_per_proc[0], tp_ref, rtol=2e-5)
+
+    # 4. Cross-process combined TP×FSDP (worker phase 3, round 3): the
+    # one-spec-tree layout's weight all-gathers / gradient
+    # reduce-scatters cross the process boundary too — identical across
+    # processes AND matching the single-process combined run.
+    cf_per_proc = []
+    for out in outs:
+        losses = {
+            int(m.group(1)): float(m.group(2))
+            for m in re.finditer(r"^TFMETRICS \d+ (\d+) ([0-9.]+)", out, re.M)
+        }
+        assert len(losses) == 2, out[-2000:]
+        cf_per_proc.append([losses[i] for i in range(2)])
+    np.testing.assert_allclose(cf_per_proc[0], cf_per_proc[1], rtol=0)
+
+    from vae_assoc_tpu.parallel import (
+        init_tp_fsdp_train_state,
+        make_tp_fsdp_train_step,
+    )
+
+    cf_state = init_tp_fsdp_train_state(cfg, tc, tp_mesh)
+    cf_step = make_tp_fsdp_train_step(cfg, tc, tp_mesh)
+    rng3 = np.random.default_rng(13)
+    cf_ref = []
+    for _ in range(2):
+        xs = shard_tp_batch(
+            tp_mesh,
+            [
+                rng3.uniform(0, 1, (32, 24)).astype(np.float32),
+                rng3.normal(size=(32, 24)).astype(np.float32),
+            ],
+        )
+        cf_state, metrics = cf_step(cf_state, xs)
+        cf_ref.append(float(jax.device_get(metrics["total"])))
+    np.testing.assert_allclose(cf_per_proc[0], cf_ref, rtol=2e-5)

@@ -178,6 +178,18 @@ def test_tp_misuse_fails_loudly():
     mesh = tp_mesh(2)
     with pytest.raises(ValueError, match="[Pp]allas"):
         make_tp_train_step(cfg, TrainConfig(batch_size=8, use_pallas=True), mesh)
+    # The spec BUILDER itself must reject 'conv_pallas' modalities: public
+    # callers (shard_params) reach it without the step/init wrappers, and
+    # an MLP spec tree for conv-shaped params would otherwise crash deep
+    # in jax.tree.map with an opaque tree-structure mismatch.
+    pcfg = AssocConfig(
+        [ModalityConfig("image", dict(
+            n_input=784, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+            n_hidden_gener_1=16, n_hidden_gener_2=16), encoder="conv_pallas")],
+        assoc_lambda=0.0,
+    )
+    with pytest.raises(ValueError, match="conv"):
+        tp_param_specs(pcfg)
 
 
 def _conv_cfg():

@@ -239,11 +239,7 @@ def _banded_bwd(plan, oh, cd, pad, interleave, res, gs):
     lo, _ = pad
     hp = h + pad[0] + pad[1]
     n = ms.shape[2]
-    prec = (
-        jax.lax.Precision.HIGHEST
-        if jnp.dtype(cd) == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
+    prec = _precision(cd)  # single-source policy (models/networks)
 
     dm_parts = [None] * ms.shape[0]
     dxp = jnp.zeros((b, hp, k), x3.dtype)

@@ -117,10 +117,12 @@ def fsdp_param_specs(
             },
         }
 
+    from vae_assoc_tpu.parallel.tp import _check_gspmd_encoders
+
+    _check_gspmd_encoders(cfg, "FSDP")  # see tp.tp_param_specs
     return {
         "modalities": tuple(
-            conv_tower(m.arch) if m.encoder in ("conv", "conv_pallas")
-            else mlp_tower(m.arch)
+            conv_tower(m.arch) if m.encoder == "conv" else mlp_tower(m.arch)
             for m in cfg.modalities
         )
     }

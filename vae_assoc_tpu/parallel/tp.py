@@ -82,6 +82,11 @@ def tp_param_specs(cfg: AssocConfig, axis: str = mesh_mod.MODEL_AXIS) -> dict:
     all-reduce), the flatten dense layer is column-parallel and the heads
     row-parallel — same one-all-reduce-per-direction budget per stage.
     """
+    # Check here, not only in the step/init wrappers: public callers like
+    # `shard_params` reach this builder directly, and a 'conv_pallas'
+    # modality would otherwise die in jax.tree.map with an opaque
+    # tree-structure mismatch instead of the guidance message.
+    _check_gspmd_encoders(cfg, "TP")
 
     def tower() -> dict:
         return {

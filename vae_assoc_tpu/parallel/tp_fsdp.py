@@ -65,6 +65,7 @@ def tp_fsdp_param_specs(
     unconditionally (mesh construction already validates divisibility of
     the hidden dims over the model factor).
     """
+    _check_gspmd_encoders(cfg, "TP×FSDP")  # see tp.tp_param_specs
 
     def col(n_in: int) -> dict:  # h1: [in, H] col-parallel (+ data on in)
         row0 = data_axis if n_in % data_shards == 0 else None
@@ -123,12 +124,12 @@ def tp_fsdp_param_specs(
                 "conv1": conv4(1, C1, 3),
                 "conv2": conv4(C1, C2, 2),
                 "dense": col(_FLAT),
-                "out_mean": {"w": P(model_axis, data_axis if n_z % data_shards == 0 else None), "b": P()},
-                "out_logvar": {"w": P(model_axis, data_axis if n_z % data_shards == 0 else None), "b": P()},
+                "out_mean": row(n_z),
+                "out_logvar": row(n_z),
             },
             "gener": {
                 "dense1": col(n_z),
-                "dense2": {"w": P(model_axis, data_axis if _FLAT % data_shards == 0 else None), "b": P()},
+                "dense2": row(_FLAT),
                 "convt1": conv4(C2, C1, 3),
                 "convt2": conv4(C1, 1, 2),
             },
