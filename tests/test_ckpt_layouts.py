@@ -110,3 +110,46 @@ def test_save_single_restore_into_tp_and_fsdp(tmp_path, rng):
     )
     _, m_f = make_fsdp_train_step(cfg, tc, mesh)(f_state, shard_batch(mesh, xs))
     np.testing.assert_allclose(float(m_ref["total"]), float(m_f["total"]), rtol=2e-5)
+
+
+def test_tp_fsdp_layout_roundtrip(tmp_path, rng):
+    """The round-3 combined TP×FSDP layout is checkpoint-portable both
+    ways: single-device ckpt re-lays onto the combined mesh (next-step
+    loss matches), and a ckpt written mid-TP×FSDP-run restores
+    bit-identical on a single device."""
+    from vae_assoc_tpu.parallel import make_tp_fsdp_train_step
+    from vae_assoc_tpu.parallel.tp_fsdp import shard_tp_fsdp_train_state
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=32)
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    for _ in range(2):
+        state, _ = step(state, [jnp.asarray(x) for x in batches(rng)])
+    ckpt.save(str(tmp_path / "c"), state)
+
+    xs = batches(rng)
+    _, m_ref = step(
+        ckpt.restore(str(tmp_path / "c"), init_train_state(cfg, tc)),
+        [jnp.asarray(x) for x in xs],
+    )
+
+    mesh2 = make_mesh(N_DEV, model_axis="model", model_parallel=2)
+    cf_state = shard_tp_fsdp_train_state(
+        mesh2, ckpt.restore(str(tmp_path / "c"), init_train_state(cfg, tc)),
+        cfg, tc,
+    )
+    cf_step = make_tp_fsdp_train_step(cfg, tc, mesh2)
+    cf_state, m_cf = cf_step(cf_state, shard_tp_batch(mesh2, xs))
+    np.testing.assert_allclose(
+        float(m_ref["total"]), float(m_cf["total"]), rtol=2e-5
+    )
+
+    # And back: save the 2-D-sharded state, restore single-device.
+    ckpt.save(str(tmp_path / "c2"), cf_state)
+    restored = ckpt.restore(str(tmp_path / "c2"), init_train_state(cfg, tc))
+    assert_states_equal(restored, cf_state)
+    _, m = make_train_step(cfg, tc)(
+        restored, [jnp.asarray(x) for x in batches(rng)]
+    )
+    assert np.isfinite(float(m["total"]))
