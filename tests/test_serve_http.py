@@ -1,0 +1,137 @@
+"""HTTP serving front end (serve_http.ModelServer): endpoint contract,
+numerics vs the direct Predictor, request coalescing through the
+MicroBatcher, and error paths — all against an in-process server on an
+OS-assigned port."""
+
+import json
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+import vae_assoc_tpu as vat
+from vae_assoc_tpu.serve import Predictor
+from vae_assoc_tpu.serve_http import ModelServer
+
+TINY = dict(
+    n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+    n_hidden_gener_1=16, n_hidden_gener_2=16,
+)
+
+
+@pytest.fixture(scope="module")
+def served():
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"],
+    )
+    pred = Predictor.from_model(model)
+    # max_batch=64 keeps the warmed compile set to one bucket (fast CI).
+    with ModelServer(pred, max_wait_ms=20.0, max_batch=64) as server:
+        port = server.start()
+        yield pred, server, f"http://127.0.0.1:{port}"
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_healthz(served):
+    _, _, base = served
+    with urllib.request.urlopen(base + "/healthz", timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["modalities"] == ["image", "trajectory"]
+
+
+def test_cross_generate_matches_predictor(served, rng):
+    pred, _, base = served
+    x = rng.uniform(0, 1, (3, 24)).astype(np.float32)
+    out = _post(base, "/v1/cross_generate",
+                {"inputs": x.tolist(), "src": "image", "dst": "trajectory"})
+    got = np.asarray(out["outputs"], np.float32)
+    np.testing.assert_allclose(
+        got, pred.cross_generate(x, "image", "trajectory"),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_transform_generate_reconstruct(served, rng):
+    pred, _, base = served
+    x = rng.uniform(0, 1, (2, 24)).astype(np.float32)
+    y = rng.normal(size=(2, 24)).astype(np.float32)
+    z = _post(base, "/v1/transform", {"inputs": [x.tolist(), y.tolist()]})
+    want_z = pred.transform([x, y])
+    np.testing.assert_allclose(
+        np.asarray(z["latents"][0], np.float32), want_z[0],
+        rtol=1e-4, atol=1e-6,
+    )
+    gen = _post(base, "/v1/generate",
+                {"latents": np.asarray(want_z[0]).tolist(),
+                 "modality": "trajectory"})
+    np.testing.assert_allclose(
+        np.asarray(gen["outputs"], np.float32),
+        pred.generate(np.asarray(want_z[0]), "trajectory"),
+        rtol=1e-4, atol=1e-6,
+    )
+    rec = _post(base, "/v1/reconstruct",
+                {"inputs": x.tolist(), "modality": "image"})
+    np.testing.assert_allclose(
+        np.asarray(rec["outputs"], np.float32),
+        pred.reconstruct(x, "image"), rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_concurrent_requests_coalesce(served, rng):
+    """Parallel HTTP clients must coalesce into fewer device dispatches
+    than requests (the MicroBatcher works across the HTTP boundary)."""
+    pred, server, base = served
+    n = 24
+    xs = [rng.uniform(0, 1, (1, 24)).astype(np.float32) for _ in range(n)]
+    before = server.batcher.dispatches
+
+    def call(x):
+        return np.asarray(_post(base, "/v1/cross_generate",
+                                {"inputs": x.tolist(), "src": 0, "dst": 1}
+                                )["outputs"], np.float32)
+
+    with ThreadPoolExecutor(max_workers=12) as ex:
+        outs = list(ex.map(call, xs))
+    for x, got in zip(xs, outs):
+        np.testing.assert_allclose(
+            got, pred.cross_generate(x, 0, 1), rtol=1e-4, atol=1e-6
+        )
+    assert server.batcher.dispatches - before < n, "no coalescing over HTTP"
+
+
+def test_error_paths(served):
+    _, _, base = served
+    # Unknown modality → 400 with a message, not a traceback/500.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/cross_generate",
+              {"inputs": [[0.0] * 24], "src": "image", "dst": "nope"})
+    assert e.value.code == 400
+    assert "nope" in json.loads(e.value.read())["error"]
+    # Missing field → 400.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/cross_generate", {"inputs": [[0.0] * 24]})
+    assert e.value.code == 400
+    # Unknown route → 404.
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/does_not_exist", {})
+    assert e.value.code == 404
+    # Bad JSON → 400.
+    req = urllib.request.Request(
+        base + "/v1/cross_generate", data=b"{not json",
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=10)
+    assert e.value.code == 400

@@ -193,6 +193,29 @@ def test_microbatcher_routes_and_chunking(model, rng):
         )
 
 
+def test_microbatcher_min_batch_pads_dispatches(model, rng):
+    """min_batch pads every dispatch up to the floor, bounding the
+    reachable bucket set (serving warms exactly that set at startup);
+    results are identical to the unpadded path."""
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred = Predictor.from_model(model)
+    a = rng.uniform(0, 1, (3, 24)).astype(np.float32)
+    with MicroBatcher(pred, max_batch=64, min_batch=64,
+                      max_wait_ms=10.0) as mb:
+        out = mb.cross_generate(a, "image", "trajectory")
+    assert out.shape == (3, 24)
+    np.testing.assert_allclose(
+        out, pred.cross_generate(_pad64(a)[:64], 0, 1)[:3],
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def _pad64(x):
+    return np.concatenate([x, np.zeros((64 - x.shape[0],) + x.shape[1:],
+                                       x.dtype)], 0)
+
+
 def test_microbatcher_submit_close_race_never_hangs(model, rng):
     """A submit racing close() must either resolve its future or raise
     'closed' — never orphan a future behind the STOP sentinel (the

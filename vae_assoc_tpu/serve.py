@@ -177,14 +177,29 @@ class Predictor:
         xp, n = self._pad(x)
         return np.asarray(self._cross(self.params, xp, src=src, dst=dst))[:n]
 
-    def warmup(self, buckets: Sequence[int] = (64, 256, 1024)) -> None:
-        """Pre-compile the cross-modal endpoints for the given buckets."""
+    def warmup(self, buckets: Sequence[int] = (64, 256, 1024), *,
+               all_endpoints: bool = False) -> None:
+        """Pre-compile the cross-modal endpoints for the given buckets.
+
+        all_endpoints=True also compiles transform and generate (separate
+        jitted programs) — a server that warms ALL reachable programs at
+        startup never compiles on a request thread (`MicroBatcher`'s
+        `min_batch` bounds the reachable bucket set; request-thread
+        compiles measured pathologically slow on tunnel TPU backends).
+        """
         k = len(self.cfg.modalities)
         for b in buckets:
+            xs = [
+                np.zeros((b, m.arch["n_input"]), np.float32)
+                for m in self.cfg.modalities
+            ]
             for i in range(k):
-                x = np.zeros((b, self.cfg.modalities[i].arch["n_input"]), np.float32)
                 for j in range(k):
-                    self.cross_generate(x, i, j)
+                    self.cross_generate(xs[i], i, j)
+            if all_endpoints:
+                zs = self.transform(xs)
+                for j in range(k):
+                    self.generate(np.asarray(zs[j]), j)
 
 
 def _join_futures(futs):
@@ -246,12 +261,20 @@ class MicroBatcher:
     _STOP = object()
 
     def __init__(self, predictor: Predictor, *, max_batch: int = 1024,
-                 max_wait_ms: float = 2.0):
+                 max_wait_ms: float = 2.0, min_batch: int = 0):
         import queue
         import threading
 
         self.predictor = predictor
         self.max_batch = int(max_batch)
+        # Pad every dispatch up to min_batch rows: with min_batch a power
+        # of two, the reachable bucket set becomes the FINITE
+        # {min_batch, 2·min_batch, …, max_batch}, so a server can warm
+        # every program it will ever run at startup and no request thread
+        # ever triggers an XLA compile (see serve_http.ModelServer —
+        # request-thread compiles are also pathologically slow on
+        # high-latency tunnel backends).
+        self.min_batch = int(min_batch)
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self.dispatches = 0  # device calls made (observability + tests)
@@ -347,6 +370,11 @@ class MicroBatcher:
     def _dispatch(self, src, dst, items):
         try:
             big = np.concatenate([x for x, _ in items], axis=0)
+            if big.shape[0] < self.min_batch:
+                big = np.concatenate(
+                    [big, np.zeros((self.min_batch - big.shape[0],)
+                                   + big.shape[1:], big.dtype)], axis=0
+                )
             out = self.predictor.cross_generate(big, src, dst)
             self.dispatches += 1
         except Exception as e:  # pragma: no cover - propagate to callers
