@@ -12,8 +12,10 @@ scan) via `make_dp_train_step` over a single-chip `('data',)` mesh and:
   2. executes training calls and checks the loss is finite and decreasing;
   3. reports samples/sec for the BASELINE.md config-5 shard_map row.
 
-Both kernel modes are covered: use_pallas=True (fused mlp + loss +
-sampler kernels) and use_pallas="mega" (tower megakernel).
+Three kernel families are covered: use_pallas=True (fused mlp + loss +
+sampler kernels), use_pallas="mega" (tower megakernel), and a config-4
+leg with encoder="conv_pallas" (banded conv kernels) — each asserted to
+compile with Pallas custom-calls under the mesh.
 
 Run:  PYTHONPATH=/root/repo python scripts/smoke_dp_tpu.py
 """
@@ -87,6 +89,44 @@ for mode in (True, "mega"):
         f"use_pallas={mode!r}: loss {first[0]:.2f} -> {last[-1]:.2f}, "
         f"{sps:,.0f} samples/sec over the {len(jax.devices())}-chip mesh"
     )
+
+# Config-4-style DP leg: the banded Pallas CONV kernels under shard_map —
+# their vma path (_pvary_like'd band matrices, _sds outputs) compiled as
+# Mosaic code over a mesh, not the jnp fallback the CPU tests exercise.
+import dataclasses
+
+cfg4, tc4 = baseline_config(4, batch_size=256, steps_per_call=2)
+cfg4 = dataclasses.replace(
+    cfg4,
+    modalities=(
+        dataclasses.replace(cfg4.modalities[0], encoder="conv_pallas"),
+        cfg4.modalities[1],
+    ),
+)
+state4 = init_dp_train_state(cfg4, tc4, mesh)
+step4 = make_dp_train_step(cfg4, tc4, mesh)
+xs4 = shard_batch(
+    mesh,
+    [
+        rng.uniform(0, 1, (2, 256, 784)).astype(np.float32),
+        rng.normal(size=(2, 256, 200)).astype(np.float32),
+    ],
+    leading_scan_axis=True,
+)
+hlo4 = step4.lower(state4, xs4).compile().as_text()
+n_cc4 = hlo4.count("tpu_custom_call")
+print(f"conv_pallas DP: {n_cc4} tpu_custom_call sites in compiled HLO")
+assert n_cc4 > 0, "conv_pallas DP compiled without Pallas custom-calls"
+state4, m4 = step4(state4, xs4)
+first4 = np.asarray(jax.device_get(m4["total"]), np.float32)
+state4, m4 = step4(state4, xs4)
+last4 = np.asarray(jax.device_get(m4["total"]), np.float32)
+assert np.all(np.isfinite(first4)) and np.all(np.isfinite(last4))
+assert float(last4[-1]) < float(first4[0]), (first4, last4)
+results["conv_pallas"] = dict(custom_calls=n_cc4,
+                              loss_first=float(first4[0]),
+                              loss_last=float(last4[-1]))
+print(f"conv_pallas DP: loss {first4[0]:.2f} -> {last4[-1]:.2f}")
 
 print("RESULTS", results)
 print("ALL CHECKS PASSED: shard_map x Pallas executed as compiled Mosaic code")
