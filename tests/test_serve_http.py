@@ -135,3 +135,62 @@ def test_error_paths(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_oversize_transform_chunks_within_warmed_set(served, rng):
+    """transform/generate beyond max_batch must chunk to warmed buckets,
+    not escape to an unwarmed (request-thread-compiled) one."""
+    pred, server, base = served
+    n = 100  # > max_batch=64 → two chunks
+    x = rng.uniform(0, 1, (n, 24)).astype(np.float32)
+    y = rng.normal(size=(n, 24)).astype(np.float32)
+    z = _post(base, "/v1/transform", {"inputs": [x.tolist(), y.tolist()]})
+    want = pred.transform([x, y])
+    got = np.asarray(z["latents"][0], np.float32)
+    assert got.shape == want[0].shape
+    np.testing.assert_allclose(got, want[0], rtol=1e-4, atol=1e-6)
+    gen = _post(base, "/v1/generate",
+                {"latents": np.asarray(want[0]).tolist(), "modality": 0})
+    np.testing.assert_allclose(
+        np.asarray(gen["outputs"], np.float32),
+        pred.generate(np.asarray(want[0]), 0), rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_malformed_inputs_return_400_not_connection_drop(served):
+    """Scalars, 1-D arrays, ragged nests, and ragged per-modality row
+    counts are client errors: 400 with a message (IndexError used to
+    escape and drop the connection)."""
+    _, _, base = served
+    for payload in (
+        {"latents": 5, "modality": "image"},                 # 0-d
+        {"latents": [1.0, 2.0], "modality": "image"},        # 1-D
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, "/v1/generate", payload)
+        assert e.value.code == 400, payload
+        assert "2-D" in json.loads(e.value.read())["error"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/transform",
+              {"inputs": [[[0.0] * 24] * 2, [[0.0] * 24] * 5]})  # ragged rows
+    assert e.value.code == 400
+    assert "equal row counts" in json.loads(e.value.read())["error"]
+
+
+def test_server_config_validation():
+    """Powers of two are load-bearing for the warmed-bucket contract;
+    min_batch > max_batch is rejected by MicroBatcher itself."""
+    from vae_assoc_tpu.serve import MicroBatcher
+    from vae_assoc_tpu.serve_http import ModelServer
+
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"],
+    )
+    pred = Predictor.from_model(model)
+    with pytest.raises(ValueError, match="power of two"):
+        ModelServer(pred, max_batch=1000)
+    with pytest.raises(ValueError, match="power of two"):
+        ModelServer(pred, max_batch=64, min_batch=48)
+    with pytest.raises(ValueError, match="max_batch"):
+        MicroBatcher(pred, max_batch=64, min_batch=256)

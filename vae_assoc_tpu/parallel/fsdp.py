@@ -45,7 +45,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
 from vae_assoc_tpu.parallel import mesh as mesh_mod
-from vae_assoc_tpu.parallel.tp import shard_train_state_like
+from vae_assoc_tpu.parallel.tp import (
+    _check_gspmd_encoders,
+    shard_train_state_like,
+)
 from vae_assoc_tpu.train.step import TrainState, init_train_state, make_train_step
 
 
@@ -117,8 +120,6 @@ def fsdp_param_specs(
             },
         }
 
-    from vae_assoc_tpu.parallel.tp import _check_gspmd_encoders
-
     _check_gspmd_encoders(cfg, "FSDP")  # see tp.tp_param_specs
     return {
         "modalities": tuple(
@@ -140,8 +141,6 @@ def _check_fsdp(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
             "(per-shard) arrays and cannot consume fan-in-sharded weights. "
             "Use TrainConfig(use_pallas=False) with FSDP."
         )
-    from vae_assoc_tpu.parallel.tp import _check_gspmd_encoders
-
     _check_gspmd_encoders(cfg, "FSDP")
 
 

@@ -275,6 +275,11 @@ class MicroBatcher:
         # request-thread compiles are also pathologically slow on
         # high-latency tunnel backends).
         self.min_batch = int(min_batch)
+        if self.min_batch > self.max_batch:
+            raise ValueError(
+                f"min_batch {self.min_batch} > max_batch {self.max_batch}: "
+                "dispatch padding would exceed the per-call row cap"
+            )
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
         self.dispatches = 0  # device calls made (observability + tests)

@@ -47,6 +47,17 @@ def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
     )
 
 
+def _as_2d(obj, name: str) -> np.ndarray:
+    """Parse a JSON field as a [rows, features] float array or raise a
+    client-addressable ValueError (scalars / 1-D / ragged nested lists
+    would otherwise surface as IndexError deep in the handler)."""
+    x = np.asarray(obj, np.float32)
+    if x.ndim != 2:
+        raise ValueError(f"{name} must be a 2-D [rows, features] array, "
+                         f"got shape {x.shape}")
+    return x
+
+
 class ModelServer:
     """Owns the Predictor + MicroBatcher and serves them over HTTP.
 
@@ -64,14 +75,23 @@ class ModelServer:
     def __init__(self, predictor: Predictor, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, min_batch: int = 64,
                  warm: bool = True):
+        # Powers of two are load-bearing, not cosmetic: Predictor buckets
+        # to the next power of two, so a non-po2 max_batch (say 1000)
+        # would let a legal 1000-row dispatch bucket to 1024 — OUTSIDE
+        # the warmed set — and pay the request-thread compile this class
+        # exists to prevent. Reject rather than silently round.
+        for name, v in (("min_batch", min_batch), ("max_batch", max_batch)):
+            if v < 1 or v & (v - 1):
+                raise ValueError(f"{name} must be a power of two, got {v}")
         self.predictor = predictor
+        self.max_batch = max_batch
         min_batch = min(min_batch, max_batch)
         self.batcher = MicroBatcher(
             predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
             min_batch=min_batch,
         )
         if warm:
-            b, buckets = max(1, min_batch), []
+            b, buckets = min_batch, []
             while b <= max_batch:
                 buckets.append(b)
                 b *= 2
@@ -81,44 +101,72 @@ class ModelServer:
     # -- request handling (pure: dict in → (status, dict) out) --------------
     def handle(self, path: str, payload: dict):
         cfg = self.predictor.cfg
-        mb = self.batcher.min_batch
         try:
             if path == "/v1/transform":
-                xs = [np.asarray(x, np.float32) for x in payload["inputs"]]
+                xs = [_as_2d(x, f"inputs[{i}]")
+                      for i, x in enumerate(payload["inputs"])]
                 if len(xs) != len(cfg.modalities):
                     raise ValueError(
                         f"expected {len(cfg.modalities)} modality input "
                         f"arrays, got {len(xs)}"
                     )
-                # Pad to the warmed bucket floor — direct endpoints must
-                # stay inside the pre-compiled program set too.
+                if len({x.shape[0] for x in xs}) != 1:
+                    raise ValueError(
+                        "per-modality inputs must have equal row counts, "
+                        f"got {[x.shape[0] for x in xs]}"
+                    )
                 n = xs[0].shape[0]
-                xs = [_pad_rows(x, mb) for x in xs]
-                zs = self.predictor.transform(xs)
+                zs = self._chunked_multi(self.predictor.transform, xs)
                 return 200, {"latents": [z[:n].tolist() for z in zs]}
             if path == "/v1/generate":
-                z = np.asarray(payload["latents"], np.float32)
-                n = z.shape[0]
-                out = self.predictor.generate(
-                    _pad_rows(z, mb), payload["modality"]
+                z = _as_2d(payload["latents"], "latents")
+                m = payload["modality"]
+                out = self._chunked(
+                    lambda c: self.predictor.generate(c, m), z
                 )
-                return 200, {"outputs": out[:n].tolist()}
+                return 200, {"outputs": out.tolist()}
             if path == "/v1/reconstruct":
-                x = np.asarray(payload["inputs"], np.float32)
+                x = _as_2d(payload["inputs"], "inputs")
                 m = payload["modality"]
                 # reconstruct == cross_generate(m, m): route it through the
-                # batcher so concurrent callers coalesce.
+                # batcher so concurrent callers coalesce (it chunks at
+                # max_batch internally).
                 out = self.batcher.cross_generate(x, m, m)
                 return 200, {"outputs": out.tolist()}
             if path == "/v1/cross_generate":
-                x = np.asarray(payload["inputs"], np.float32)
+                x = _as_2d(payload["inputs"], "inputs")
                 out = self.batcher.cross_generate(
                     x, payload["src"], payload["dst"]
                 )
                 return 200, {"outputs": out.tolist()}
-        except (KeyError, ValueError, TypeError) as e:
+        except (KeyError, ValueError, TypeError, IndexError) as e:
             return 400, {"error": str(e)}
         return 404, {"error": f"no route {path}"}
+
+    # Direct endpoints must stay inside the warmed program set too: pad up
+    # to the bucket floor AND chunk above max_batch (a 4096-row transform
+    # would otherwise bucket past the warmed set and pay a request-thread
+    # compile — the failure mode this class exists to prevent).
+    def _chunked(self, fn, x):
+        mb, cap = self.batcher.min_batch, self.max_batch
+        if x.shape[0] <= cap:
+            n = x.shape[0]
+            return fn(_pad_rows(x, mb))[:n]
+        return np.concatenate(
+            [self._chunked(fn, x[lo : lo + cap])
+             for lo in range(0, x.shape[0], cap)], axis=0
+        )
+
+    def _chunked_multi(self, fn, xs):
+        mb, cap = self.batcher.min_batch, self.max_batch
+        n = xs[0].shape[0]
+        if n <= cap:
+            return tuple(z[:n] for z in fn([_pad_rows(x, mb) for x in xs]))
+        parts = [
+            self._chunked_multi(fn, [x[lo : lo + cap] for x in xs])
+            for lo in range(0, n, cap)
+        ]
+        return tuple(np.concatenate(p, axis=0) for p in zip(*parts))
 
     # -- lifecycle -----------------------------------------------------------
     def serve(self, host: str = "127.0.0.1", port: int = 8000):
@@ -165,7 +213,11 @@ class ModelServer:
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": f"bad JSON: {e}"})
                     return
-                status, obj = server.handle(self.path, payload)
+                try:
+                    status, obj = server.handle(self.path, payload)
+                except Exception as e:  # true server bug: 500, not a
+                    # dropped connection (handle() 400s client errors)
+                    status, obj = 500, {"error": f"internal: {e!r}"}
                 self._send(status, obj)
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
