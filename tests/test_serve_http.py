@@ -194,3 +194,28 @@ def test_server_config_validation():
         ModelServer(pred, max_batch=64, min_batch=48)
     with pytest.raises(ValueError, match="max_batch"):
         MicroBatcher(pred, max_batch=64, min_batch=256)
+    # Explicit min > max is a misconfiguration, not a silent clamp.
+    with pytest.raises(ValueError, match="max_batch"):
+        ModelServer(pred, max_batch=64, min_batch=128, warm=False)
+    # max_batch beyond Predictor's MAX_BUCKET would chunk internally and
+    # leak residual chunks outside the warmed set.
+    with pytest.raises(ValueError, match="MAX_BUCKET"):
+        ModelServer(pred, max_batch=8192, warm=False)
+
+
+def test_negative_int_modality_rejected(served):
+    """Negative modality indices must 400: Python indexing would silently
+    serve the wrong modality AND each distinct negative value would mint a
+    fresh jit program on a request thread (unbounded compile set)."""
+    _, _, base = served
+    for path, payload in (
+        ("/v1/generate", {"latents": [[0.0] * 4], "modality": -1}),
+        ("/v1/cross_generate",
+         {"inputs": [[0.0] * 24], "src": -1, "dst": 1}),
+        ("/v1/cross_generate",
+         {"inputs": [[0.0] * 24], "src": 0, "dst": 5}),
+    ):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(base, path, payload)
+        assert e.value.code == 400, (path, payload)
+        assert "out of range" in json.loads(e.value.read())["error"]

@@ -189,6 +189,15 @@ class AssocConfig:
 
     def modality_index(self, name_or_idx) -> int:
         if isinstance(name_or_idx, int):
+            # Range-check rather than pass through: a negative index would
+            # silently select from the end via Python indexing AND mint a
+            # fresh jit program per distinct value downstream (modality is
+            # a static arg in serving — an unbounded compile set).
+            if not 0 <= name_or_idx < len(self.modalities):
+                raise KeyError(
+                    f"modality index {name_or_idx} out of range "
+                    f"[0, {len(self.modalities)})"
+                )
             return name_or_idx
         for i, m in enumerate(self.modalities):
             if m.name == name_or_idx:

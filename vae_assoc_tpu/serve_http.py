@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import threading
+from typing import Optional
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -73,19 +74,34 @@ class ModelServer:
     """
 
     def __init__(self, predictor: Predictor, *, max_batch: int = 1024,
-                 max_wait_ms: float = 2.0, min_batch: int = 64,
+                 max_wait_ms: float = 2.0, min_batch: Optional[int] = None,
                  warm: bool = True):
+        from vae_assoc_tpu.serve import MAX_BUCKET
+
         # Powers of two are load-bearing, not cosmetic: Predictor buckets
         # to the next power of two, so a non-po2 max_batch (say 1000)
         # would let a legal 1000-row dispatch bucket to 1024 — OUTSIDE
         # the warmed set — and pay the request-thread compile this class
-        # exists to prevent. Reject rather than silently round.
+        # exists to prevent. Likewise max_batch must not exceed
+        # MAX_BUCKET: above it Predictor chunks internally and a 1-row
+        # residual chunk would bucket below the warmed floor. min_batch
+        # defaults to min(64, max_batch); an EXPLICIT min > max is a
+        # misconfiguration and raises (in MicroBatcher). Reject rather
+        # than silently round.
+        if min_batch is None:
+            min_batch = min(64, max_batch)
         for name, v in (("min_batch", min_batch), ("max_batch", max_batch)):
             if v < 1 or v & (v - 1):
                 raise ValueError(f"{name} must be a power of two, got {v}")
+        if max_batch > MAX_BUCKET:
+            raise ValueError(
+                f"max_batch {max_batch} exceeds serve.MAX_BUCKET "
+                f"{MAX_BUCKET}: Predictor would chunk dispatches "
+                "internally and residual chunks would escape the warmed "
+                "bucket set"
+            )
         self.predictor = predictor
         self.max_batch = max_batch
-        min_batch = min(min_batch, max_batch)
         self.batcher = MicroBatcher(
             predictor, max_batch=max_batch, max_wait_ms=max_wait_ms,
             min_batch=min_batch,
@@ -115,9 +131,8 @@ class ModelServer:
                         "per-modality inputs must have equal row counts, "
                         f"got {[x.shape[0] for x in xs]}"
                     )
-                n = xs[0].shape[0]
                 zs = self._chunked_multi(self.predictor.transform, xs)
-                return 200, {"latents": [z[:n].tolist() for z in zs]}
+                return 200, {"latents": [z.tolist() for z in zs]}
             if path == "/v1/generate":
                 z = _as_2d(payload["latents"], "latents")
                 m = payload["modality"]
