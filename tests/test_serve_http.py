@@ -203,6 +203,39 @@ def test_server_config_validation():
         ModelServer(pred, max_batch=8192, warm=False)
 
 
+def test_cli_small_max_batch_defaults_min_batch():
+    """`--max-batch 32` with no --min-batch must start: the CLI default
+    for --min-batch is None (→ min(64, max_batch)), not a hard 64 that
+    would exceed max_batch and refuse startup. Also: ModelServer's
+    Python-API default follows max_batch down."""
+    from vae_assoc_tpu.serve_http import _build_parser
+
+    args = _build_parser().parse_args(["some_dir", "--max-batch", "32"])
+    assert args.min_batch is None
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"],
+    )
+    pred = Predictor.from_model(model)
+    server = ModelServer(pred, max_batch=32, warm=False)
+    assert server.batcher.min_batch == 32
+    server.close()
+
+
+def test_numpy_integer_modality_accepted(served, rng):
+    """np.int64 (e.g. from np.argmax) must behave exactly like the plain
+    int index — not fall through to the name lookup's KeyError."""
+    pred, _, base = served
+    x = rng.uniform(0, 1, (2, 24)).astype(np.float32)
+    np.testing.assert_allclose(
+        pred.cross_generate(x, np.int64(0), np.int64(1)),
+        pred.cross_generate(x, 0, 1), rtol=1e-6, atol=0,
+    )
+    assert pred.cfg.modality_index(np.int32(1)) == 1
+    with pytest.raises(KeyError, match="out of range"):
+        pred.cfg.modality_index(np.int64(-1))
+
+
 def test_negative_int_modality_rejected(served):
     """Negative modality indices must 400: Python indexing would silently
     serve the wrong modality AND each distinct negative value would mint a

@@ -18,6 +18,7 @@ from typing import Any, Iterator, Mapping, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class FrozenDict(Mapping):
@@ -188,7 +189,8 @@ class AssocConfig:
         return self.modalities[0].arch["n_z"]
 
     def modality_index(self, name_or_idx) -> int:
-        if isinstance(name_or_idx, int):
+        if isinstance(name_or_idx, (int, np.integer)):
+            name_or_idx = int(name_or_idx)  # np.int64(0) etc. index too
             # Range-check rather than pass through: a negative index would
             # silently select from the end via Python indexing AND mint a
             # fresh jit program per distinct value downstream (modality is

@@ -37,7 +37,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
-from vae_assoc_tpu.serve import MicroBatcher, Predictor
+from vae_assoc_tpu.serve import MAX_BUCKET, MicroBatcher, Predictor
 
 
 def _pad_rows(x: np.ndarray, n: int) -> np.ndarray:
@@ -76,8 +76,6 @@ class ModelServer:
     def __init__(self, predictor: Predictor, *, max_batch: int = 1024,
                  max_wait_ms: float = 2.0, min_batch: Optional[int] = None,
                  warm: bool = True):
-        from vae_assoc_tpu.serve import MAX_BUCKET
-
         # Powers of two are load-bearing, not cosmetic: Predictor buckets
         # to the next power of two, so a non-po2 max_batch (say 1000)
         # would let a legal 1000-row dispatch bucket to 1024 — OUTSIDE
@@ -252,7 +250,7 @@ class ModelServer:
         self.close()
 
 
-def main(argv=None) -> int:
+def _build_parser():
     import argparse
 
     p = argparse.ArgumentParser(
@@ -262,14 +260,20 @@ def main(argv=None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=1024)
-    p.add_argument("--min-batch", type=int, default=64,
+    p.add_argument("--min-batch", type=int, default=None,
                    help="dispatch-padding floor; with --max-batch it bounds "
-                        "the compile set warmed at startup")
+                        "the compile set warmed at startup (default: "
+                        "min(64, max_batch); an explicit value above "
+                        "--max-batch is a misconfiguration and raises)")
     p.add_argument("--max-wait-ms", type=float, default=2.0)
     p.add_argument("--no-warm", action="store_true",
                    help="skip the startup warmup (requests may then "
                         "compile on worker threads — slow on tunnel TPU)")
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv=None) -> int:
+    args = _build_parser().parse_args(argv)
 
     pred = Predictor.load(args.model_dir)
     with ModelServer(pred, max_batch=args.max_batch,
