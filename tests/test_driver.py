@@ -211,3 +211,35 @@ def test_async_checkpoint_save(rng):
         ckpt.wait(td)
         restored = ckpt.restore(td, init_train_state(cfg, tc))
         assert int(restored.step) == 1
+
+
+def test_driver_compile_cache_populates_and_hits(tmp_path):
+    """--compile-cache: the first run writes persistent-cache entries; a
+    second identical run HITS them — detected by entry mtimes staying
+    untouched (a cache hit never rewrites the entry file; a miss would
+    recompile and put). Subprocesses so the global jax config of this
+    test process is never mutated (utils/compile_cache.py)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    cache = tmp_path / "xla_cache"
+    base = [
+        sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+        "--config", "1", "--data", "synthetic", "--n-samples", "128",
+        "--batch-size", "32", "--epochs", "1",
+        "--compile-cache", str(cache),
+    ]
+    out = subprocess.run(base, env=env, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    entries = {p.name: p.stat().st_mtime_ns for p in cache.iterdir()}
+    assert entries, "first run wrote no persistent-cache entries"
+
+    out2 = subprocess.run(base, env=env, capture_output=True, text=True,
+                          timeout=600)
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    after = {p.name: p.stat().st_mtime_ns for p in cache.iterdir()}
+    stale = {k: v for k, v in after.items() if k in entries}
+    assert stale and all(entries[k] == v for k, v in stale.items()), (
+        "second run rewrote cache entries — persistent cache missed")

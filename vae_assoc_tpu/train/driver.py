@@ -62,6 +62,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default="/tmp/vae_assoc_tpu_profile")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (overrides any TPU plugin)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory; "
+                        "re-runs load the train-step programs from disk "
+                        "instead of recompiling (utils/compile_cache.py)")
     p.add_argument("--mesh", type=int, default=None, metavar="N",
                    help="data-parallel shard_map over an N-device mesh "
                         "(default: all devices for --config 5 on multi-"
@@ -101,6 +105,10 @@ def main(argv=None) -> int:
         # Env vars are too late once a TPU PJRT plugin pre-registered at
         # interpreter start; the config update still wins (lazy backends).
         jax.config.update("jax_platforms", "cpu")
+    if args.compile_cache:
+        from vae_assoc_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(args.compile_cache)
 
     import jax.numpy as jnp
 
