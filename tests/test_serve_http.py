@@ -212,6 +212,7 @@ def test_cli_small_max_batch_defaults_min_batch():
 
     args = _build_parser().parse_args(["some_dir", "--max-batch", "32"])
     assert args.min_batch is None
+    assert args.compile_cache is None  # opt-in (test_driver covers the hit)
     model = vat.AssocVariationalAutoEncoder(
         [TINY, TINY], recon_types=["bernoulli", "gaussian"],
         names=["image", "trajectory"],

@@ -21,17 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vae_assoc_tpu.bucketing import MAX_BUCKET, _bucket  # noqa: F401
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
 from vae_assoc_tpu.models import assoc as assoc_mod
-
-MAX_BUCKET = 4096
-
-
-def _bucket(n: int) -> int:
-    b = 1
-    while b < n and b < MAX_BUCKET:
-        b *= 2
-    return b
 
 
 class Predictor:
@@ -47,6 +39,8 @@ class Predictor:
     ):
         self.params = params
         self.cfg = cfg
+        self.compute_dtype = compute_dtype  # introspection (export.py)
+        self.use_pallas = use_pallas
         kw = dict(cfg=cfg, compute_dtype=compute_dtype, use_pallas=use_pallas)
         self._transform = jax.jit(functools.partial(assoc_mod.transform, **kw))
         self._generate = jax.jit(

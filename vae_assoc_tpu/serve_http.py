@@ -256,7 +256,14 @@ def _build_parser():
     p = argparse.ArgumentParser(
         prog="vae_assoc_tpu.serve_http", description=__doc__
     )
-    p.add_argument("model_dir", help="save_model directory (model_config.json)")
+    p.add_argument("model_dir", help="save_model directory "
+                                     "(model_config.json), or with "
+                                     "--from-export an export_predictor "
+                                     "artifact directory (manifest.json)")
+    p.add_argument("--from-export", action="store_true",
+                   help="serve an AOT StableHLO artifact written by "
+                        "python -m vae_assoc_tpu.export — loads no model "
+                        "classes and restores no checkpoint")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--max-batch", type=int, default=1024)
@@ -269,13 +276,28 @@ def _build_parser():
     p.add_argument("--no-warm", action="store_true",
                    help="skip the startup warmup (requests may then "
                         "compile on worker threads — slow on tunnel TPU)")
+    p.add_argument("--compile-cache", default=None, metavar="DIR",
+                   help="persistent XLA compilation cache directory; a "
+                        "restarted server re-loads its warmed compile set "
+                        "from disk instead of recompiling (~30-60 s per "
+                        "program on the tunnel backend)")
     return p
 
 
 def main(argv=None) -> int:
     args = _build_parser().parse_args(argv)
 
-    pred = Predictor.load(args.model_dir)
+    if args.compile_cache:
+        from vae_assoc_tpu.utils.compile_cache import enable_compile_cache
+
+        print(f"compile cache: {enable_compile_cache(args.compile_cache)}",
+              flush=True)
+    if args.from_export:
+        from vae_assoc_tpu.export import ExportedPredictor
+
+        pred = ExportedPredictor.load(args.model_dir)
+    else:
+        pred = Predictor.load(args.model_dir)
     with ModelServer(pred, max_batch=args.max_batch,
                      min_batch=args.min_batch,
                      max_wait_ms=args.max_wait_ms,
