@@ -248,6 +248,29 @@ class TrainConfig:
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
 
+    # Production training options beyond the reference's fixed-LR Adam
+    # (defaults reproduce it exactly — same optimizer state tree, so
+    # round-2 checkpoints restore unchanged). All flow through the single
+    # optimizer source, `train.step.make_optimizer`, and therefore apply
+    # identically under jit / scan / DP / TP / FSDP.
+    #   lr_schedule: "constant" | "cosine" (cosine_decay over decay_steps
+    #     down to learning_rate * lr_end_factor). Schedules count
+    #     OPTIMIZER updates, so with accum_steps > 1 they advance once per
+    #     k micro-steps.
+    #   warmup_steps: linear 0 -> learning_rate ramp prepended to either
+    #     schedule.
+    #   grad_clip_norm: clip gradients to this global norm before Adam
+    #     (0 = off). The logged grad_norm metric stays the RAW pre-clip
+    #     norm — the observability signal clipping exists to monitor.
+    #   accum_steps: micro-batches averaged per optimizer update
+    #     (optax.MultiSteps); params change only every k-th step.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 0
+    decay_steps: int = 0
+    lr_end_factor: float = 0.0
+    grad_clip_norm: float = 0.0
+    accum_steps: int = 1
+
 
 def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:
     """JSON-serializable snapshot of model (+ optional train) config —

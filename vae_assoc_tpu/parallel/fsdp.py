@@ -152,7 +152,7 @@ def shard_fsdp_train_state(
     replicated."""
     _check_fsdp(mesh, tc, cfg)
     n = int(mesh.shape[mesh_mod.DATA_AXIS])
-    return shard_train_state_like(mesh, state, fsdp_param_specs(cfg, n))
+    return shard_train_state_like(mesh, state, fsdp_param_specs(cfg, n), tc)
 
 
 def init_fsdp_train_state(
@@ -161,7 +161,7 @@ def init_fsdp_train_state(
     _check_fsdp(mesh, tc, cfg)
     n = int(mesh.shape[mesh_mod.DATA_AXIS])
     return shard_train_state_like(
-        mesh, init_train_state(cfg, tc, key), fsdp_param_specs(cfg, n)
+        mesh, init_train_state(cfg, tc, key), fsdp_param_specs(cfg, n), tc
     )
 
 

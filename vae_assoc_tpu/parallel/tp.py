@@ -49,6 +49,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
@@ -184,35 +185,34 @@ def _placer(mesh: Mesh):
     return put
 
 
-def shard_opt_state_like(mesh: Mesh, opt_state, specs: dict):
-    """Lay Adam's mu/nu out exactly like the params they track (`specs` is a
-    PartitionSpec pytree matching the param tree).
+def shard_opt_state_like(mesh: Mesh, opt_state, specs: dict, opt):
+    """Lay the optimizer's params-shaped leaves (Adam mu/nu, MultiSteps
+    grad accumulators) out exactly like the params they track (`specs` is
+    a PartitionSpec pytree matching the param tree); counts and other
+    scalars replicate.
 
     This must be explicit: optimizer moments are `zeros_like` constants with
     no data-flow edge from the sharded params, so XLA's sharding propagation
     cannot infer their layout (measured: `jit(opt.init)` on sharded params
-    left the moments on one device). `make_optimizer` is optax.adam, whose
-    state is ``(ScaleByAdamState(count, mu, nu), EmptyState())`` with mu/nu
-    mirroring the param tree.
+    left the moments on one device). `optax.tree_map_params` walks whatever
+    state tree `opt` (the GradientTransformation from
+    `train.step.make_optimizer`) builds, so schedule / clip / accumulation
+    wrappers re-lay correctly without this function knowing their shapes.
     """
     put = _placer(mesh)
     repl = NamedSharding(mesh, P())
-
-    def like_params(tree):
-        return jax.tree.map(
-            lambda x, s: put(x, NamedSharding(mesh, s)), tree, specs
-        )
-
-    adam, *rest = opt_state
-    adam = adam._replace(
-        count=put(adam.count, repl),
-        mu=like_params(adam.mu),
-        nu=like_params(adam.nu),
+    return optax.tree_map_params(
+        opt,
+        lambda x, s: put(x, NamedSharding(mesh, s)),
+        opt_state,
+        specs,
+        transform_non_params=lambda x: put(x, repl),
     )
-    return (adam, *(put(r, repl) for r in rest))
 
 
-def shard_train_state_like(mesh: Mesh, state: TrainState, specs: dict) -> TrainState:
+def shard_train_state_like(
+    mesh: Mesh, state: TrainState, specs: dict, tc: TrainConfig
+) -> TrainState:
     """Re-lay an existing TrainState (fresh or checkpoint-restored) onto
     `mesh` with `specs` on the params (and matching opt-state layout),
     replicated step/rng. Shared by the TP and FSDP layouts; works on
@@ -225,7 +225,7 @@ def shard_train_state_like(mesh: Mesh, state: TrainState, specs: dict) -> TrainS
     return TrainState(
         put(state.step, repl),
         params,
-        shard_opt_state_like(mesh, state.opt_state, specs),
+        shard_opt_state_like(mesh, state.opt_state, specs, make_optimizer(tc)),
         put(state.rng, repl),
     )
 
@@ -237,7 +237,7 @@ def shard_tp_train_state(
     TP mesh: Megatron specs on params, matching layout on Adam's moments,
     replicated step/rng."""
     _check_tp_mesh(mesh, tc, cfg)
-    return shard_train_state_like(mesh, state, tp_param_specs(cfg))
+    return shard_train_state_like(mesh, state, tp_param_specs(cfg), tc)
 
 
 def init_tp_train_state(
@@ -245,7 +245,9 @@ def init_tp_train_state(
 ) -> TrainState:
     """TrainState with TP-sharded params and matching-sharded opt state."""
     _check_tp_mesh(mesh, tc, cfg)
-    return shard_train_state_like(mesh, init_train_state(cfg, tc, key), tp_param_specs(cfg))
+    return shard_train_state_like(
+        mesh, init_train_state(cfg, tc, key), tp_param_specs(cfg), tc
+    )
 
 
 @functools.lru_cache(maxsize=64)

@@ -169,7 +169,7 @@ def shard_tp_fsdp_train_state(
     replicated step/rng."""
     _check_tp_fsdp(mesh, tc, cfg)
     n = int(mesh.shape[mesh_mod.DATA_AXIS])
-    return shard_train_state_like(mesh, state, tp_fsdp_param_specs(cfg, n))
+    return shard_train_state_like(mesh, state, tp_fsdp_param_specs(cfg, n), tc)
 
 
 def init_tp_fsdp_train_state(
@@ -178,7 +178,7 @@ def init_tp_fsdp_train_state(
     _check_tp_fsdp(mesh, tc, cfg)
     n = int(mesh.shape[mesh_mod.DATA_AXIS])
     return shard_train_state_like(
-        mesh, init_train_state(cfg, tc, key), tp_fsdp_param_specs(cfg, n)
+        mesh, init_train_state(cfg, tc, key), tp_fsdp_param_specs(cfg, n), tc
     )
 
 

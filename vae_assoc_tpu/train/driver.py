@@ -39,6 +39,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--steps-per-call", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
+    p.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                   default=None,
+                   help="LR schedule over optimizer updates "
+                        "(cosine needs --decay-steps)")
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear 0->lr warmup prepended to the schedule")
+    p.add_argument("--decay-steps", type=int, default=None,
+                   help="cosine decay horizon in optimizer updates")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="clip gradients to this global norm before Adam "
+                        "(logged grad_norm stays the raw pre-clip value)")
+    p.add_argument("--accum-steps", type=int, default=None,
+                   help="micro-batches averaged per optimizer update "
+                        "(optax.MultiSteps gradient accumulation)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU-pass matmul policy (fp32 accumulation)")
@@ -126,6 +140,11 @@ def main(argv=None) -> int:
         overrides["steps_per_call"] = args.steps_per_call
     if args.learning_rate is not None:
         overrides["learning_rate"] = args.learning_rate
+    for field in ("lr_schedule", "warmup_steps", "decay_steps",
+                  "grad_clip_norm", "accum_steps"):
+        v = getattr(args, field)
+        if v is not None:
+            overrides[field] = v
     if args.seed is not None:
         overrides["seed"] = args.seed
     if args.bf16:

@@ -30,9 +30,57 @@ class TrainState(NamedTuple):
     rng: jax.Array  # PRNG key for the reparameterization stream
 
 
+def lr_schedule_fn(tc: TrainConfig):
+    """Learning-rate schedule from TrainConfig — float or optax schedule.
+
+    Returns the plain float for the default (constant, no warmup) so the
+    optimizer state tree — and therefore existing checkpoints — stay
+    byte-identical to the reference-parity fixed-LR Adam.
+    """
+    if tc.lr_schedule == "constant":
+        if tc.warmup_steps <= 0:
+            return tc.learning_rate
+        main = optax.constant_schedule(tc.learning_rate)
+    elif tc.lr_schedule == "cosine":
+        if tc.decay_steps <= 0:
+            raise ValueError(
+                "lr_schedule='cosine' needs decay_steps > 0 (the decay "
+                f"horizon in optimizer updates), got {tc.decay_steps}"
+            )
+        main = optax.cosine_decay_schedule(
+            tc.learning_rate, tc.decay_steps, alpha=tc.lr_end_factor
+        )
+    else:
+        raise ValueError(
+            f"unknown lr_schedule {tc.lr_schedule!r}; "
+            "expected 'constant' or 'cosine'"
+        )
+    if tc.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, tc.learning_rate, tc.warmup_steps)
+        return optax.join_schedules([warm, main], [tc.warmup_steps])
+    return main
+
+
 def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
-    """Adam with the reference's (TF-default) hyperparameters."""
-    return optax.adam(tc.learning_rate, b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps)
+    """The ONE optimizer source: Adam with the reference's (TF-default)
+    hyperparameters, optionally extended with global-norm gradient
+    clipping, an LR schedule, and gradient accumulation (configs.py
+    TrainConfig docstring). Every training path — single-device, fused
+    scan, DP shard_map, TP/FSDP GSPMD — builds its update from here, so
+    the features compose with all of them by construction."""
+    adam = optax.adam(
+        lr_schedule_fn(tc), b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps
+    )
+    if tc.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), adam)
+    else:
+        opt = adam
+    if tc.accum_steps > 1:
+        # MultiSteps averages k micro-batch grads then applies ONE Adam
+        # update; params (and the inner schedule count) hold still on
+        # non-boundary steps. TrainState.step keeps counting micro-steps.
+        opt = optax.MultiSteps(opt, every_k_schedule=tc.accum_steps)
+    return opt
 
 
 def init_train_state(cfg: AssocConfig, tc: TrainConfig, key=None) -> TrainState:
