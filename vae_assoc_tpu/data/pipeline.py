@@ -45,6 +45,43 @@ def featurize_pairs(
     return images, trajs
 
 
+def split_train_val(arrays, val_frac: float, *, seed: int = 0):
+    """Deterministic held-out split of aligned per-modality arrays.
+
+    Returns ``(train_arrays, val_arrays, (train_idx, val_idx))`` where the
+    index arrays are a seeded permutation of ``range(N)`` — pass them to
+    slice anything row-aligned with the features (e.g. ``ds.labels`` for
+    the latent-scatter plot). Permuting (rather than slicing the tail)
+    matters for ordered sources like UJI files, where the tail would be a
+    single writer/character block rather than an i.i.d. sample.
+
+    The split is a pure function of (N, val_frac, seed): a resumed run
+    (driver --resume) reconstructs the identical held-out set, so val
+    metrics stay comparable across restarts.
+    """
+    if not 0.0 < val_frac < 1.0:
+        raise ValueError(f"val_frac must be in (0, 1), got {val_frac}")
+    n = int(arrays[0].shape[0])
+    for a in arrays[1:]:
+        if int(a.shape[0]) != n:
+            raise ValueError(
+                "split_train_val needs row-aligned arrays; got leading dims "
+                f"{[int(a.shape[0]) for a in arrays]}"
+            )
+    n_val = int(np.ceil(n * val_frac))
+    if not 0 < n_val < n:
+        raise ValueError(
+            f"val_frac {val_frac} of {n} samples leaves an empty split"
+        )
+    perm = np.random.default_rng(seed).permutation(n)
+    train_idx, val_idx = perm[:-n_val], perm[-n_val:]
+    # Gather on device (features usually live in HBM already); the indices
+    # return as numpy for host-side label slicing.
+    train = [jnp.asarray(a)[train_idx] for a in arrays]
+    val = [jnp.asarray(a)[val_idx] for a in arrays]
+    return train, val, (train_idx, val_idx)
+
+
 class PairedDataset:
     """Host-side container staging raw strokes to device and featurizing once.
 

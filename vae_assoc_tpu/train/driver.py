@@ -61,6 +61,19 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--fused", action="store_true",
                    help="train_loop_fused: all epochs in one device program")
     p.add_argument("--display-step", type=int, default=1)
+    p.add_argument("--val-frac", type=float, default=0.0,
+                   help="hold out this fraction of the data (seeded "
+                        "permutation split, stable across --resume) and "
+                        "log val_* metrics: ELBO terms + cross-modal MSE "
+                        "over the whole held-out set")
+    p.add_argument("--val-every", type=int, default=1,
+                   help="evaluate the held-out set every N epochs")
+    p.add_argument("--keep-best", action="store_true",
+                   help="with --val-frac and --ckpt-dir: also checkpoint "
+                        "to CKPT_DIR/best whenever val_total improves")
+    p.add_argument("--early-stop-patience", type=int, default=0, metavar="P",
+                   help="with --val-frac: stop when val_total has not "
+                        "improved for P consecutive validations (0 = off)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=10,
                    help="checkpoint every N epochs")
@@ -164,15 +177,36 @@ def main(argv=None) -> int:
     cfg, tc = baseline_config(args.config, **overrides)
     k = len(cfg.modalities)
 
+    if args.val_frac > 0 and args.val_every < 1:
+        raise SystemExit("--val-every must be >= 1")
+    if args.keep_best and args.val_frac <= 0:
+        raise SystemExit("--keep-best requires --val-frac")
+    if args.keep_best and not args.ckpt_dir:
+        raise SystemExit("--keep-best requires --ckpt-dir")
+    if args.early_stop_patience > 0 and args.val_frac <= 0:
+        raise SystemExit("--early-stop-patience requires --val-frac")
+
     ds, loaded = load_data(args)
     # Select each configured modality's feature set by name (config 2 is
     # trajectory-only: taking the first array would feed images).
     by_name = {"image": loaded[0], "trajectory": loaded[1]}
     data = [by_name[m.name] for m in cfg.modalities]
+    val_data = None
+    eval_labels = ds.labels
+    if args.val_frac > 0:
+        from vae_assoc_tpu.data.pipeline import split_train_val
+
+        data, val_data, (_, val_idx) = split_train_val(
+            data, args.val_frac, seed=tc.seed
+        )
+        if eval_labels is not None:
+            eval_labels = np.asarray(eval_labels)[val_idx]
     print(
         f"config {args.config}: {k} modalit{'y' if k == 1 else 'ies'}, "
-        f"{len(ds)} samples, batch {tc.batch_size}, "
-        f"{jax.default_backend()} backend",
+        f"{len(ds)} samples"
+        + (f" ({int(data[0].shape[0])} train / "
+           f"{int(val_data[0].shape[0])} val)" if val_data else "")
+        + f", batch {tc.batch_size}, {jax.default_backend()} backend",
         flush=True,
     )
 
@@ -271,25 +305,66 @@ def main(argv=None) -> int:
             epochs_done += 1
         print(f"profile written to {args.profile_dir}", flush=True)
 
-    # Train in checkpoint-interval chunks so periodic saves see live state.
-    chunk = args.ckpt_every if (args.ckpt_dir and args.ckpt_every) else args.epochs
+    # Train in chunks bounded by the next event boundary (periodic
+    # checkpoint and/or held-out validation), so both see live state.
+    ckpt_int = args.ckpt_every if (args.ckpt_dir and args.ckpt_every) else 0
+    val_int = args.val_every if val_data is not None else 0
+    best_val = float("inf")
+    stale = 0  # consecutive validations without a val_total improvement
+
+    def _until(done: int, interval: int) -> int:
+        """Epochs until the next interval boundary strictly after `done`."""
+        return interval - done % interval if interval else args.epochs
+
+    def run_validation(state, epoch: int):
+        nonlocal best_val, stale
+        vm = eval_mod.eval_metrics(
+            state.params, val_data, cfg, batch_size=tc.batch_size,
+            compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
+            seed=tc.seed,
+        )
+        log.write(epoch=epoch, **{f"val_{k}": v for k, v in vm.items()})
+        if vm["total"] < best_val:
+            best_val = vm["total"]
+            stale = 0
+            if args.keep_best:
+                ckpt.save(os.path.join(args.ckpt_dir, "best"), state)
+                print(f"new best val_total={vm['total']:.5f} at epoch "
+                      f"{epoch}; saved to "
+                      f"{os.path.join(args.ckpt_dir, 'best')}", flush=True)
+        else:
+            stale += 1
+
     while epochs_done < args.epochs:
-        n = min(chunk, args.epochs - epochs_done)
+        n = min(args.epochs - epochs_done,
+                _until(epochs_done, ckpt_int), _until(epochs_done, val_int))
         state, history = run(state, n)
         for e, h in enumerate(history):
             if (epochs_done + e) % args.display_step == 0:
                 log.write(epoch=epochs_done + e, **h)
         epochs_done += n
-        if args.ckpt_dir and epochs_done < args.epochs:
+        last_chunk = epochs_done >= args.epochs
+        if val_int and (epochs_done % val_int == 0 or last_chunk):
+            run_validation(state, epochs_done - 1)
+            if (args.early_stop_patience > 0
+                    and stale >= args.early_stop_patience
+                    and not last_chunk):
+                print(f"early stop at epoch {epochs_done - 1}: val_total "
+                      f"stale for {stale} validations "
+                      f"(best {best_val:.5f})", flush=True)
+                break
+        if ckpt_int and epochs_done % ckpt_int == 0 and not last_chunk:
             ckpt.save(args.ckpt_dir, state)
 
     if args.ckpt_dir:
         ckpt.save(args.ckpt_dir, state)
         print(f"checkpoint saved to {args.ckpt_dir}", flush=True)
 
-    # Post-train: cross-modal MSE eval (the quality gate) + plots.
-    n_eval = min(512, len(ds))
-    eval_xs = [d[:n_eval] for d in data]
+    # Post-train: cross-modal MSE eval (the quality gate) + plots — on the
+    # held-out set when --val-frac is given, else the head of the data.
+    eval_src = val_data if val_data is not None else data
+    n_eval = min(512, int(eval_src[0].shape[0]))
+    eval_xs = [d[:n_eval] for d in eval_src]
     mse = eval_mod.evaluate(
         state.params, eval_xs, cfg,
         compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
@@ -320,8 +395,8 @@ def main(argv=None) -> int:
             state.params, eval_xs, cfg, compute_dtype=tc.compute_dtype
         )
         labels = None
-        if ds.labels is not None:
-            labels = np.asarray(ds.labels)[:n_eval]
+        if eval_labels is not None:
+            labels = np.asarray(eval_labels)[:n_eval]
         viz.latent_scatter(np.asarray(zs[0]), labels).savefig(
             os.path.join(args.plots_dir, "latent_scatter.png"), dpi=120
         )

@@ -67,3 +67,86 @@ def evaluate(params, xs, cfg, *, compute_dtype=jnp.float32, use_pallas=False) ->
     """Host-friendly wrapper: jitted cross-modal MSE dict of floats."""
     fn = _eval_fn(cfg, jnp.dtype(compute_dtype), bool(use_pallas))
     return {k: float(v) for k, v in fn(params, list(xs)).items()}
+
+
+def _metrics_dict(params, xs, cfg, key, compute_dtype, use_pallas):
+    """Loss surface (total + per-term) with deterministic ε, plus the
+    cross-modal MSE grid, as one dict of scalars."""
+    _, m = assoc_mod.assoc_loss_fn(
+        params, xs, cfg, key=key,
+        compute_dtype=compute_dtype, use_pallas=use_pallas,
+    )
+    m = dict(m)
+    m.update(
+        cross_modal_mse(
+            params, xs, cfg, compute_dtype=compute_dtype, use_pallas=use_pallas
+        )
+    )
+    return m
+
+
+@functools.lru_cache(maxsize=64)
+def _chunked_metrics_fn(cfg: AssocConfig, compute_dtype, use_pallas):
+    # One compiled program per (config, chunk count, chunk size): a scan
+    # over [C, B, D] chunk stacks — periodic validation re-runs it with
+    # zero retrace. ε is drawn deterministically per chunk.
+    def run(params, stacks, key):
+        def body(i, xs_chunk):
+            return i + 1, _metrics_dict(
+                params, list(xs_chunk), cfg,
+                jax.random.fold_in(key, i), compute_dtype, use_pallas,
+            )
+
+        _, ms = jax.lax.scan(body, jnp.int32(0), tuple(stacks))
+        return jax.tree.map(jnp.mean, ms)
+
+    return jax.jit(run)
+
+
+def eval_metrics(
+    params,
+    xs,
+    cfg,
+    *,
+    batch_size: int = 1024,
+    compute_dtype=jnp.float32,
+    use_pallas=False,
+    seed: int = 0,
+) -> dict:
+    """Full held-out evaluation: ELBO terms + cross-modal MSE over the
+    ENTIRE set, averaged in fixed-shape chunks.
+
+    The reference only ever printed the running training cost; a
+    production training loop needs held-out metrics (driver --val-frac).
+    Chunking keeps the compile set bounded: whole chunks of `batch_size`
+    run under one scanned program, and a ragged tail (if any) adds at most
+    one more fixed-shape program. The ε stream is a pure function of
+    (seed, chunk index) — repeated evaluation of the same params returns
+    identical numbers.
+    """
+    xs = [jnp.asarray(x) for x in xs]
+    n = int(xs[0].shape[0])
+    if n == 0:
+        raise ValueError("eval_metrics needs at least one sample")
+    b = min(batch_size, n)
+    ctype = jnp.dtype(compute_dtype)
+    key = jax.random.key(seed)
+    n_full, rem = divmod(n, b)
+
+    parts = []  # (weight, metrics-dict) pairs
+    if n_full:
+        stacks = [x[: n_full * b].reshape((n_full, b) + x.shape[1:]) for x in xs]
+        fn = _chunked_metrics_fn(cfg, ctype, use_pallas)
+        parts.append((n_full * b, fn(params, stacks, key)))
+    if rem:
+        tail = [x[n_full * b :] for x in xs]
+        fn = _chunked_metrics_fn(cfg, ctype, use_pallas)
+        parts.append(
+            (rem, fn(params, [t[None] for t in tail], jax.random.fold_in(key, n_full)))
+        )
+
+    total_w = sum(w for w, _ in parts)
+    out = {}
+    for k in parts[0][1]:
+        out[k] = float(sum(w * float(m[k]) for w, m in parts) / total_w)
+    return out
