@@ -1,0 +1,249 @@
+"""Vectorized multi-model training (train/sweep.py): E models in one
+vmapped program. The reference trains one model per script invocation
+(SURVEY.md §3.1); the sweep axis (seed, learning_rate, assoc_lambda) is
+rebuild-added production surface.
+
+Core contracts tested here:
+- a sweep member equals the standalone run with the same seed (vmap only
+  reassociates the batched contractions — tight allclose, not bitwise);
+- per-model lr with the baseline value is BITWISE-equal to the plain
+  path (lr·(−t) == −(lr·t), see step._one_step);
+- per-model λ equals a standalone run with cfg(assoc_lambda=λ);
+- select_model yields a plain TrainState that flows through eval and
+  orbax checkpointing unchanged.
+"""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_assoc_tpu.configs import AssocConfig, ModalityConfig, TrainConfig
+from vae_assoc_tpu.models import assoc as assoc_mod
+from vae_assoc_tpu.train import eval as eval_mod
+from vae_assoc_tpu.train import sweep as sw
+from vae_assoc_tpu.train.step import init_train_state, make_train_step
+from vae_assoc_tpu.utils.logging import read_jsonl
+
+TINY = dict(
+    n_input=24, n_z=4, n_hidden_recog_1=16, n_hidden_recog_2=16,
+    n_hidden_gener_1=16, n_hidden_gener_2=16,
+)
+
+
+def tiny_cfg(assoc_lambda=0.5):
+    return AssocConfig(
+        [ModalityConfig("image", TINY, recon="bernoulli"),
+         ModalityConfig("trajectory", TINY, recon="gaussian")],
+        assoc_lambda=assoc_lambda,
+    )
+
+
+def _xs(rng, n=32):
+    return [rng.uniform(0, 1, (n, 24)).astype(np.float32),
+            rng.normal(size=(n, 24)).astype(np.float32)]
+
+
+def _leaves_allclose(a, b, **kw):
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), **kw)
+
+
+def test_member_matches_standalone_run(rng):
+    """Each sweep member's trajectory equals the standalone run with the
+    same seed: identical init, identical ε stream, identical updates (up
+    to vmap's batched-contraction reassociation)."""
+    cfg, tc = tiny_cfg(), TrainConfig(batch_size=16)
+    xs = _xs(rng, 16)
+    state = sw.init_sweep_state(cfg, tc, [3, 7])
+    step = sw.make_sweep_step(cfg, tc)
+    for _ in range(4):
+        state, metrics = step(state, xs)
+    for i, seed in enumerate((3, 7)):
+        ref = init_train_state(cfg, tc, jax.random.key(seed))
+        f = make_train_step(cfg, tc)
+        for _ in range(4):
+            ref, ref_m = f(ref, xs)
+        np.testing.assert_allclose(
+            float(metrics["total"][i]), float(ref_m["total"]), rtol=1e-5
+        )
+        _leaves_allclose(
+            sw.select_model(state, i).params, ref.params,
+            rtol=1e-4, atol=1e-6,
+        )
+
+
+def test_vary_lr_bitwise_vs_plain_and_matches_standalone(rng):
+    """lr scaling contract: the vary-lr member running the BASELINE lr is
+    bitwise-identical to the plain sweep path, and a member with a
+    different lr matches the standalone run using that lr."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16, learning_rate=1e-3)
+    xs = _xs(rng, 16)
+
+    plain = sw.make_sweep_step(cfg, tc)(sw.init_sweep_state(cfg, tc, [0, 1]), xs)
+    lrs = jnp.asarray([1e-3, 5e-3], jnp.float32)
+    vary = sw.make_sweep_step(cfg, tc, vary_lr=True)(
+        sw.init_sweep_state(cfg, tc, [0, 1]), xs, lrs
+    )
+    for pl, vl in zip(
+        jax.tree.leaves(sw.select_model(plain[0], 0).params),
+        jax.tree.leaves(sw.select_model(vary[0], 0).params),
+    ):
+        np.testing.assert_array_equal(np.asarray(pl), np.asarray(vl))
+
+    ref = init_train_state(cfg, tc, jax.random.key(1))
+    tc_fast = TrainConfig(batch_size=16, learning_rate=5e-3)
+    ref, _ = make_train_step(cfg, tc_fast)(ref, xs)
+    _leaves_allclose(
+        sw.select_model(vary[0], 1).params, ref.params, rtol=1e-4, atol=1e-6
+    )
+
+
+def test_vary_assoc_matches_standalone_config(rng):
+    """A member with runtime λ equals the standalone run whose cfg bakes
+    that λ in statically — gradients through the rebuilt objective are
+    exact (total is linear in the logged terms)."""
+    tc = TrainConfig(batch_size=16)
+    cfg = tiny_cfg(assoc_lambda=0.5)
+    xs = _xs(rng, 16)
+    lams = jnp.asarray([0.5, 4.0], jnp.float32)
+    state = sw.init_sweep_state(cfg, tc, [0, 1])
+    step = sw.make_sweep_step(cfg, tc, vary_assoc=True)
+    for _ in range(3):
+        state, metrics = step(state, xs, lams)
+    ref = init_train_state(tiny_cfg(4.0), tc, jax.random.key(1))
+    f = make_train_step(tiny_cfg(4.0), tc)
+    for _ in range(3):
+        ref, ref_m = f(ref, xs)
+    np.testing.assert_allclose(
+        float(metrics["total"][1]), float(ref_m["total"]), rtol=1e-5
+    )
+    _leaves_allclose(
+        sw.select_model(state, 1).params, ref.params, rtol=1e-4, atol=1e-6
+    )
+
+
+def test_vary_lr_rejects_schedules():
+    cfg, tc = tiny_cfg(), TrainConfig(
+        batch_size=16, lr_schedule="cosine", decay_steps=10
+    )
+    with pytest.raises(ValueError, match="constant"):
+        sw.make_sweep_step(cfg, tc, vary_lr=True)
+
+
+def test_extras_validation(rng):
+    cfg, tc = tiny_cfg(), TrainConfig(batch_size=16)
+    xs = _xs(rng, 16)
+    state = sw.init_sweep_state(cfg, tc, [0, 1, 2])
+    step = sw.make_sweep_step(cfg, tc, vary_lr=True)
+    with pytest.raises(ValueError, match="hyperparameter array"):
+        step(state, xs)  # missing lrs
+    with pytest.raises(ValueError, match=r"shape \(3,\)"):
+        step(state, xs, jnp.ones((2,), jnp.float32))
+    with pytest.raises(ValueError, match="duplicate seeds"):
+        sw.init_sweep_state(cfg, tc, [0, 0])
+
+
+def test_sweep_loop_scan_and_selection(rng):
+    """sweep_loop with steps_per_call>1: every model learns, history carries
+    the model axis, and select_model's winner flows through eval + orbax."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16, steps_per_call=2)
+    data = _xs(rng, 128)
+    state, history = sw.sweep_loop(
+        cfg, tc, data, seeds=[0, 1, 2], epochs=6,
+        assoc_lambdas=[0.5, 1.0, 2.0],
+    )
+    assert history[0]["total"].shape == (3,)
+    assert np.all(history[-1]["total"] < history[0]["total"])
+    best = int(np.argmin(history[-1]["total"]))
+    winner = sw.select_model(state, best)
+    m = eval_mod.eval_metrics(winner.params, data, cfg, batch_size=64)
+    assert np.isfinite(m["image->trajectory"])
+
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save(d, winner)
+        restored = ckpt.restore(d, init_train_state(cfg, tc))
+        _leaves_allclose(restored.params, winner.params, rtol=0, atol=0)
+
+
+def test_sweep_forces_xla_path(rng):
+    """use_pallas configs run the sweep on the XLA path (module docstring):
+    the step must trace and run without kernel errors, matching the plain
+    jnp sweep exactly."""
+    cfg = tiny_cfg()
+    xs = _xs(rng, 16)
+    s_pl, m_pl = sw.make_sweep_step(cfg, TrainConfig(batch_size=16, use_pallas="mega"))(
+        sw.init_sweep_state(cfg, TrainConfig(batch_size=16, use_pallas="mega"), [0, 1]), xs
+    )
+    s_np, m_np = sw.make_sweep_step(cfg, TrainConfig(batch_size=16))(
+        sw.init_sweep_state(cfg, TrainConfig(batch_size=16), [0, 1]), xs
+    )
+    np.testing.assert_array_equal(
+        np.asarray(m_pl["total"]), np.asarray(m_np["total"])
+    )
+
+
+# -- driver surface ------------------------------------------------------------
+
+
+def _driver_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    return env
+
+
+def test_driver_sweep_end_to_end(tmp_path):
+    """--sweep-seeds with per-model lambdas and held-out selection: per-model
+    JSONL records, winner announced by val_total, winner checkpointed."""
+    metrics = tmp_path / "m.jsonl"
+    ckpt_dir = tmp_path / "ckpt"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "192",
+         "--batch-size", "32", "--epochs", "3", "--sweep-seeds", "3",
+         "--sweep-lambdas", "0.5", "1.0", "2.0", "--val-frac", "0.25",
+         "--metrics", str(metrics), "--ckpt-dir", str(ckpt_dir)],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "sweep: 3 models in one vmapped program" in out.stdout
+    assert "sweep winner: model" in out.stdout and "by val_total" in out.stdout
+    recs = read_jsonl(str(metrics))
+    train_recs = [r for r in recs if "grad_norm" in r]
+    assert sorted({int(r["model"]) for r in train_recs}) == [0, 1, 2]
+    assert len(train_recs) == 9  # 3 models x 3 epochs
+    val_recs = [r for r in recs if "val_total" in r]
+    assert len(val_recs) == 3 and all("model" in r for r in val_recs)
+    assert ckpt_dir.is_dir()
+    assert "checkpoint saved" in out.stdout
+
+
+def test_driver_sweep_flag_validation(tmp_path):
+    base = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+            "--config", "3"]
+    out = subprocess.run(
+        base + ["--sweep-seeds", "2", "--fused"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0 and "incompatible with --fused" in out.stderr
+    out = subprocess.run(
+        base + ["--sweep-seeds", "3", "--sweep-lrs", "1e-3", "1e-2"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0 and "one value per model" in out.stderr
+    out = subprocess.run(
+        base + ["--sweep-lrs", "1e-3"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0 and "require --sweep-seeds" in out.stderr

@@ -74,6 +74,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--early-stop-patience", type=int, default=0, metavar="P",
                    help="with --val-frac: stop when val_total has not "
                         "improved for P consecutive validations (0 = off)")
+    p.add_argument("--sweep-seeds", type=int, default=0, metavar="E",
+                   help="train E models in ONE vmapped program (seeds "
+                        "seed..seed+E-1, train/sweep.py), then keep the "
+                        "best by val_total (with --val-frac) or final "
+                        "train total; post-train eval/plots/checkpoint "
+                        "apply to the winner")
+    p.add_argument("--sweep-lrs", type=float, nargs="+", default=None,
+                   metavar="LR",
+                   help="with --sweep-seeds E: per-model learning rates "
+                        "(E values; constant schedule only)")
+    p.add_argument("--sweep-lambdas", type=float, nargs="+", default=None,
+                   metavar="L",
+                   help="with --sweep-seeds E: per-model association "
+                        "weights (E values)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=10,
                    help="checkpoint every N epochs")
@@ -121,6 +135,61 @@ def load_data(args):
         ds = PairedDataset.from_synthetic(args.n_samples, seed=args.seed or 0)
     imgs, trajs = ds.features()
     return ds, [imgs, trajs]
+
+
+def _run_sweep(args, cfg, tc, data, val_data, log):
+    """--sweep-seeds: E-model vmapped training, returns the winner state.
+
+    Every model's per-epoch metrics are logged as separate JSONL records
+    keyed by ``model=i``; the winner is chosen by held-out ``val_total``
+    when --val-frac is given (each member evaluated over the WHOLE
+    held-out set), else by final-epoch training total.
+    """
+    from vae_assoc_tpu.train import eval as eval_mod
+    from vae_assoc_tpu.train.sweep import select_model, sweep_loop
+
+    e = args.sweep_seeds
+    seeds = list(range(tc.seed, tc.seed + e))
+    lrs, lams = args.sweep_lrs, args.sweep_lambdas
+    print(
+        f"sweep: {e} models in one vmapped program; seeds {seeds}"
+        + (f", lrs {lrs}" if lrs else "")
+        + (f", assoc_lambdas {lams}" if lams else ""),
+        flush=True,
+    )
+    state, history = sweep_loop(
+        cfg, tc, data, seeds=seeds, learning_rates=lrs, assoc_lambdas=lams,
+        epochs=args.epochs,
+    )
+    for ep, h in enumerate(history):
+        if ep % args.display_step:
+            continue
+        for i in range(e):
+            log.write(epoch=ep, model=i,
+                      **{k: float(v[i]) for k, v in h.items()})
+    if val_data is not None:
+        scores = []
+        for i in range(e):
+            vm = eval_mod.eval_metrics(
+                select_model(state, i).params, val_data, cfg,
+                batch_size=tc.batch_size, compute_dtype=tc.compute_dtype,
+                use_pallas=tc.use_pallas, seed=tc.seed,
+            )
+            log.write(model=i, **{f"val_{k}": v for k, v in vm.items()})
+            scores.append(vm["total"])
+        kind = "val_total"
+    else:
+        scores = [float(v) for v in history[-1]["total"]]
+        kind = "final train total"
+    best = int(np.argmin(scores))
+    print(
+        f"sweep winner: model {best} (seed {seeds[best]}"
+        + (f", lr {lrs[best]}" if lrs else "")
+        + (f", lambda {lams[best]}" if lams else "")
+        + f") by {kind} {scores[best]:.5f}",
+        flush=True,
+    )
+    return select_model(state, best)
 
 
 def main(argv=None) -> int:
@@ -186,6 +255,35 @@ def main(argv=None) -> int:
     if args.early_stop_patience > 0 and args.val_frac <= 0:
         raise SystemExit("--early-stop-patience requires --val-frac")
 
+    if args.sweep_seeds:
+        if args.sweep_seeds < 2:
+            raise SystemExit("--sweep-seeds needs E >= 2")
+        for bad, name in (
+            (args.fused, "--fused"),
+            (args.resume, "--resume"),
+            (args.keep_best, "--keep-best"),
+            (args.early_stop_patience > 0, "--early-stop-patience"),
+            (args.profile_epochs > 0, "--profile-epochs"),
+            (bool(args.mesh and args.mesh > 1), "--mesh"),
+            (args.model_parallel > 1, "--model-parallel"),
+            (args.fsdp, "--fsdp"),
+        ):
+            if bad:
+                raise SystemExit(
+                    f"--sweep-seeds is incompatible with {name} (the sweep "
+                    "is one single-device vmapped program; select the "
+                    "winner first, then scale it out)"
+                )
+        for lst, nm in ((args.sweep_lrs, "--sweep-lrs"),
+                        (args.sweep_lambdas, "--sweep-lambdas")):
+            if lst is not None and len(lst) != args.sweep_seeds:
+                raise SystemExit(
+                    f"{nm} needs one value per model "
+                    f"({args.sweep_seeds}), got {len(lst)}"
+                )
+    elif args.sweep_lrs is not None or args.sweep_lambdas is not None:
+        raise SystemExit("--sweep-lrs/--sweep-lambdas require --sweep-seeds")
+
     ds, loaded = load_data(args)
     # Select each configured modality's feature set by name (config 2 is
     # trajectory-only: taking the first array would feed images).
@@ -213,7 +311,8 @@ def main(argv=None) -> int:
     # Data parallelism: explicit --mesh N, or all devices for the DP
     # milestone (config 5) when more than one device is attached.
     n_mesh = args.mesh
-    if n_mesh is None and args.config == 5 and len(jax.devices()) > 1:
+    if (n_mesh is None and args.config == 5 and len(jax.devices()) > 1
+            and not args.sweep_seeds):  # the sweep is single-device
         n_mesh = len(jax.devices())
     mesh = None
     mp = args.model_parallel
@@ -259,7 +358,7 @@ def main(argv=None) -> int:
     elif mp > 1 or args.fsdp:
         raise SystemExit("--model-parallel/--fsdp require --mesh N with N > 1")
 
-    state = init_train_state(cfg, tc)
+    state = None if args.sweep_seeds else init_train_state(cfg, tc)
     if args.resume:
         if not args.ckpt_dir:
             raise SystemExit("--resume requires --ckpt-dir")
@@ -292,6 +391,12 @@ def main(argv=None) -> int:
         return train_loop(cfg, tc, data, epochs=epochs, state=state)
 
     epochs_done = 0
+    if args.sweep_seeds:
+        # Train E models in one vmapped program, select the winner, and
+        # fall through to the normal post-train checkpoint/eval/plots with
+        # it as a plain single-model state (train/sweep.py).
+        state = _run_sweep(args, cfg, tc, data, val_data, log)
+        epochs_done = args.epochs  # skip the single-model training loop
     if args.profile_epochs > 0:
         # Wrap the first N epochs in a profiler trace (SURVEY.md §5
         # "Tracing/profiling"); view with XProf/Perfetto.

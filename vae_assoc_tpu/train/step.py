@@ -92,7 +92,19 @@ def init_train_state(cfg: AssocConfig, tc: TrainConfig, key=None) -> TrainState:
     return TrainState(jnp.int32(0), params, opt_state, k_train)
 
 
-def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axis_name=None):
+def _total_with_lambda(metrics: dict, cfg: AssocConfig, lam) -> jax.Array:
+    """Rebuild the joint objective from its logged terms with a RUNTIME
+    association weight: Σ_k (recon_k + kl_k) + lam · assoc. Used by the
+    vmapped sweep path (train/sweep.py) so per-model λ values live in an
+    array instead of forcing one compiled program per λ; the static-λ path
+    in assoc_loss_fn stays byte-identical (parity surface, docs/PARITY.md)."""
+    total = jnp.float32(0.0)
+    for m in cfg.modalities:
+        total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
+    return total + jnp.float32(lam) * metrics["assoc"]
+
+
+def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axis_name=None, *, assoc_lambda=None, lr_scale=None):
     rng, step_key = jax.random.split(state.rng)
     # Per-step folding keeps the ε stream deterministic given (seed, step).
     step_key = jax.random.fold_in(step_key, state.step)
@@ -111,6 +123,11 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
         )
+        if assoc_lambda is not None:
+            # Per-model λ (sweep path): recompute the objective from its
+            # terms. The gradient is exact — total is linear in the terms.
+            total = _total_with_lambda(metrics, cfg, assoc_lambda)
+            metrics = {**metrics, "total": total}
         if axis_name is not None:
             # DP gradient sync: pmean the scalar loss across the mesh BEFORE
             # grad. Under shard_map's vma type system the backward pass then
@@ -146,6 +163,12 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
     metrics["grad_norm"] = optax.global_norm(grads)
     with jax.named_scope("adam_update"):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        if lr_scale is not None:
+            # Per-model learning rate (sweep path): the caller built `opt`
+            # with learning_rate=1.0, so the Adam direction is -m̂/(√v̂+ε)
+            # and scaling it by lr is bitwise-equal to optax.adam(lr)'s
+            # scale(-lr) step: lr·(−t) == −(lr·t) in IEEE arithmetic.
+            updates = jax.tree.map(lambda u: lr_scale * u, updates)
         params = optax.apply_updates(state.params, updates)
     new_state = TrainState(state.step + 1, params, opt_state, rng)
     return new_state, metrics
