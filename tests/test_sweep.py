@@ -192,6 +192,102 @@ def test_sweep_forces_xla_path(rng):
     )
 
 
+# -- DP composition ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    from vae_assoc_tpu.parallel import make_mesh
+
+    return make_mesh(len(jax.devices()))
+
+
+def test_dp_sweep_gradient_matches_single_device(mesh, rng):
+    """shard_map(vmap(grad)) == vmap(grad) on the same global batch, same
+    explicit ε per model: the DP×sweep composition's psum'd per-shard
+    gradients must equal each model's single-device gradient."""
+    from jax.sharding import PartitionSpec as P
+
+    cfg = tiny_cfg()
+    E, B = 3, 32
+    params = jax.vmap(
+        lambda k: assoc_mod.init_assoc(k, cfg)
+    )(jnp.stack([jax.random.key(s) for s in (0, 1, 2)]))
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (B, 24)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(B, 24)).astype(np.float32)),
+    ]
+    eps = [
+        jnp.asarray(rng.normal(size=(E, B, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+
+    def loss(p, xs, eps):
+        return assoc_mod.assoc_loss_fn(p, list(xs), cfg, eps=list(eps))[0]
+
+    g_ref = jax.vmap(jax.grad(loss), in_axes=(0, None, 0))(params, xs, eps)
+
+    def dp_grads(p, xs, eps):
+        g = jax.vmap(
+            lambda p, eps: jax.grad(
+                lambda p: jax.lax.pmean(loss(p, xs, eps), "data")
+            )(p),
+            in_axes=(0, 0),
+        )(p, eps)
+        return g
+
+    g_dp = jax.jit(
+        jax.shard_map(
+            dp_grads,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P(None, "data")),
+            out_specs=P(),
+        )
+    )(params, xs, eps)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_dp)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+        )
+
+
+def test_dp_sweep_step_learns_with_per_model_lambda(mesh, rng):
+    """The full DP×sweep train step (scan + vary_assoc) over the mesh:
+    every model's loss decreases, params stay replicated across shards,
+    and per-model steps advance in lockstep."""
+    from vae_assoc_tpu.parallel.mesh import shard_batch
+
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=32, steps_per_call=2)
+    state = sw.init_dp_sweep_state(cfg, tc, mesh, [0, 1, 2])
+    step = sw.make_dp_sweep_step(cfg, tc, mesh, vary_assoc=True)
+    lams = jnp.asarray([0.5, 1.0, 2.0], jnp.float32)
+    first = last = None
+    for i in range(8):
+        xs = shard_batch(
+            mesh,
+            [rng.uniform(0, 1, (2, 32, 24)).astype(np.float32),
+             rng.normal(size=(2, 32, 24)).astype(np.float32)],
+            leading_scan_axis=True,
+        )
+        state, metrics = step(state, xs, lams)
+        totals = np.asarray(metrics["total"]).mean(axis=0)  # [N,E] -> [E]
+        if first is None:
+            first = totals
+        last = totals
+    assert totals.shape == (3,)
+    assert np.all(last < first), (first, last)
+    w = state.params["modalities"][0]["recog"]["h1"]["w"]
+    shards = [np.asarray(s.data) for s in w.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+    np.testing.assert_array_equal(np.asarray(state.step), [16, 16, 16])
+
+    # The winner extracts to a plain single-model state, as on one device.
+    winner = sw.select_model(state, int(np.argmin(last)))
+    assert winner.params["modalities"][0]["recog"]["h1"]["w"].ndim == 2
+
+
 # -- driver surface ------------------------------------------------------------
 
 

@@ -171,6 +171,82 @@ def _check_extras(extras, n_extra: int, state) -> None:
             )
 
 
+@functools.lru_cache(maxsize=32)
+def make_dp_sweep_step(
+    cfg: AssocConfig,
+    tc: TrainConfig,
+    mesh,
+    *,
+    vary_lr: bool = False,
+    vary_assoc: bool = False,
+    jit: bool = True,
+):
+    """Data-parallel sweep: `shard_map` over the data mesh OUTSIDE,
+    `vmap` over the model axis INSIDE.
+
+    Batches shard over devices exactly as in `parallel.dp.make_dp_train_step`
+    (each of the E models sees the same GLOBAL batch); the ``[E]``-stacked
+    state and hyperparameter arrays replicate. Inside each shard the vmapped
+    `_one_step` pmeans every model's loss over the data axis, so the
+    backward pass all-reduces E per-model gradients over ICI in one
+    coalesced collective — the DP communication surface, times E models.
+
+    ``step_fn(state, xs, *extras)`` mirrors `make_sweep_step`, with ``xs``
+    global batches sharded (or shardable) on the batch dim and ``state``
+    replicated (`parallel.mesh.replicate` of an `init_sweep_state` tree).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from vae_assoc_tpu.parallel import mesh as mesh_mod
+
+    tc_run = _sweep_tc(tc, vary_lr)
+    opt = make_optimizer(tc_run)
+    axis = mesh.axis_names[0]
+    n_extra = int(vary_lr) + int(vary_assoc)
+
+    def one(state, xs, *extras):
+        it = iter(extras)
+        lr = next(it) if vary_lr else None
+        lam = next(it) if vary_assoc else None
+        return _one_step(
+            state, list(xs), cfg, tc_run, opt, axis,
+            assoc_lambda=lam, lr_scale=lr,
+        )
+
+    vstep = jax.vmap(one, in_axes=(0, None) + (0,) * n_extra)
+    n = tc.steps_per_call
+
+    def local(state, xs, *extras):
+        _check_extras(extras, n_extra, state)
+        if n == 1:
+            return vstep(state, tuple(xs), *extras)
+
+        def body(carry, batch):
+            return vstep(carry, batch, *extras)
+
+        return jax.lax.scan(body, state, tuple(xs))
+
+    xs_spec = mesh_mod.batch_spec(mesh, leading_scan_axis=n > 1)
+    step_fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), xs_spec) + (P(),) * n_extra,
+        out_specs=(P(), P()),
+    )
+    if jit:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def init_dp_sweep_state(
+    cfg: AssocConfig, tc: TrainConfig, mesh, seeds: Sequence[int]
+) -> TrainState:
+    """An `init_sweep_state` tree replicated across the mesh."""
+    from vae_assoc_tpu.parallel import mesh as mesh_mod
+
+    return mesh_mod.replicate(mesh, init_sweep_state(cfg, tc, seeds))
+
+
 def sweep_loop(
     cfg: AssocConfig,
     tc: TrainConfig,
@@ -272,7 +348,9 @@ def sweep_loop(
 
 
 __all__ = [
+    "init_dp_sweep_state",
     "init_sweep_state",
+    "make_dp_sweep_step",
     "make_sweep_step",
     "select_model",
     "sweep_loop",
