@@ -325,6 +325,35 @@ def test_driver_sweep_end_to_end(tmp_path):
     assert "checkpoint saved" in out.stdout
 
 
+def test_sweep_loop_throughput_keys(rng):
+    """samples_per_sec is the PER-MODEL rate (comparable with a
+    single-model train_loop run); the E-model aggregate is the separate
+    sweep_model_samples_per_sec key — per-model JSONL records must never
+    read E× inflated."""
+    cfg, tc = tiny_cfg(), TrainConfig(batch_size=16)
+    data = _xs(rng, 64)
+    _, history = sw.sweep_loop(cfg, tc, data, seeds=[0, 1, 2, 3], epochs=1)
+    h = history[0]
+    np.testing.assert_allclose(
+        h["sweep_model_samples_per_sec"], 4 * h["samples_per_sec"]
+    )
+
+
+def test_driver_sweep_lambda_selection_is_lambda_independent(tmp_path):
+    """Without --val-frac, a λ sweep must NOT select by `total` (a small λ
+    down-weights its own assoc term, so argmin(total) would just pick the
+    smallest λ): the driver scores by the λ-independent recon+KL terms."""
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "2", "--sweep-seeds", "2",
+         "--sweep-lambdas", "0.01", "10.0"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "by final train recon+KL (lambda-independent)" in out.stdout
+
+
 def test_driver_sweep_flag_validation(tmp_path):
     base = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
             "--config", "3"]
@@ -343,3 +372,8 @@ def test_driver_sweep_flag_validation(tmp_path):
         env=_driver_env(), capture_output=True, text=True, timeout=600,
     )
     assert out.returncode != 0 and "require --sweep-seeds" in out.stderr
+    out = subprocess.run(
+        base + ["--sweep-seeds", "2", "--epochs", "0"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0 and "--epochs >= 1" in out.stderr

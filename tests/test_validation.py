@@ -163,6 +163,37 @@ def test_driver_validation_end_to_end(tmp_path):
     assert "new best val_total" in out.stdout
 
 
+def test_driver_keep_best_resume_reseeds_best(tmp_path):
+    """--resume with --keep-best must re-seed best-so-far from the existing
+    best/ checkpoint: starting from inf would let the first post-resume
+    validation overwrite a genuinely better best with a worse state. With
+    --learning-rate 0 the resumed run's val_total exactly equals the saved
+    best (params frozen at the best state), so a correct run reports the
+    seed and never announces a new best."""
+    metrics = tmp_path / "m.jsonl"
+    ckpt_dir = tmp_path / "ckpt"
+    base = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+            "--config", "3", "--data", "synthetic", "--n-samples", "128",
+            "--batch-size", "64", "--val-frac", "0.25", "--val-every", "1",
+            "--keep-best", "--ckpt-dir", str(ckpt_dir),
+            "--metrics", str(metrics)]
+    out = subprocess.run(
+        base + ["--epochs", "3"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "new best val_total" in out.stdout
+    out2 = subprocess.run(
+        base + ["--epochs", "2", "--resume", "--learning-rate", "0"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "resume: existing best checkpoint has val_total=" in out2.stdout
+    # Params frozen at the prior best -> equal val_total -> no new best,
+    # and the best/ checkpoint is not overwritten by an equal-or-worse one.
+    assert "new best val_total" not in out2.stdout
+
+
 def test_driver_early_stopping(tmp_path):
     """--early-stop-patience: with LR 0 the params never change, so
     val_total never improves after the first validation; patience 1 must

@@ -3,13 +3,18 @@
 XLA compiles one program per concrete shape, so serving pads request
 batches up to the nearest power-of-two bucket (bounded compile set) and
 chunks anything beyond ``MAX_BUCKET`` into multiple device calls. This
-lives in its own dependency-free module so AOT-exported artifacts
-(:mod:`vae_assoc_tpu.export`) can bucket identically to the live
-:class:`vae_assoc_tpu.serve.Predictor` WITHOUT importing model code —
-the whole point of a self-contained artifact.
+lives in its own dependency-free module (numpy only — no model code) so
+AOT-exported artifacts (:mod:`vae_assoc_tpu.export`) bucket identically
+to the live :class:`vae_assoc_tpu.serve.Predictor`: the pad/chunk/warmup
+logic exists ONCE here, and both surfaces call it with their own
+endpoint callables, so the contract cannot drift between them.
 """
 
 from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
 
 MAX_BUCKET = 4096
 
@@ -20,3 +25,77 @@ def _bucket(n: int) -> int:
     while b < n and b < MAX_BUCKET:
         b *= 2
     return b
+
+
+def pad_rows(x: np.ndarray):
+    """Zero-pad rows up to the bucket size. Returns (padded, true_n)."""
+    n = x.shape[0]
+    assert n <= MAX_BUCKET  # callers chunk before padding
+    b = _bucket(n)
+    if b == n:
+        return x, n
+    return np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)], 0), n
+
+
+def chunked_call(call: Callable, x) -> np.ndarray:
+    """Run a single-input row-wise endpoint at any batch size.
+
+    Batches larger than ``MAX_BUCKET`` are split into ``MAX_BUCKET``-row
+    calls and re-concatenated — a serving front end must absorb oversize
+    requests, not 500 on them. Each chunk hits the already-warm largest
+    bucket, so no new compiles happen; smaller batches pad up to their
+    bucket and the padding is sliced off the result.
+    """
+    x = np.asarray(x)
+    if x.shape[0] > MAX_BUCKET:
+        return np.concatenate(
+            [chunked_call(call, x[lo:lo + MAX_BUCKET])
+             for lo in range(0, x.shape[0], MAX_BUCKET)], 0
+        )
+    xp, n = pad_rows(x)
+    return np.asarray(call(xp))[:n]
+
+
+def chunked_multi_call(call: Callable, xs: Sequence[np.ndarray]):
+    """`chunked_call` for endpoints taking a list of row-aligned arrays
+    (one per modality) and returning a tuple of row-aligned outputs."""
+    xs = [np.asarray(x) for x in xs]
+    n = xs[0].shape[0]
+    if n > MAX_BUCKET:
+        parts = [
+            chunked_multi_call(call, [x[lo:lo + MAX_BUCKET] for x in xs])
+            for lo in range(0, n, MAX_BUCKET)
+        ]
+        return tuple(np.concatenate(p, 0) for p in zip(*parts))
+    padded = [pad_rows(x) for x in xs]
+    outs = call([p for p, _ in padded])
+    return tuple(np.asarray(o)[:n] for o in outs)
+
+
+def warmup_endpoints(
+    predictor,
+    cfg,
+    buckets: Sequence[int] = (64, 256, 1024),
+    *,
+    all_endpoints: bool = False,
+) -> None:
+    """Pre-compile a predictor's endpoints for the given buckets.
+
+    Works on any object with the serving verb set (`Predictor`,
+    `ExportedPredictor`): compiles every cross_generate direction per
+    bucket; ``all_endpoints=True`` also compiles transform and generate.
+    Compilation is keyed on shapes only, so zero-filled probes suffice.
+    """
+    k = len(cfg.modalities)
+    n_z = cfg.modalities[0].arch["n_z"]
+    for b in buckets:
+        xs = [np.zeros((b, m.arch["n_input"]), np.float32)
+              for m in cfg.modalities]
+        for i in range(k):
+            for j in range(k):
+                predictor.cross_generate(xs[i], i, j)
+        if all_endpoints:
+            predictor.transform(xs)
+            z = np.zeros((b, n_z), np.float32)
+            for j in range(k):
+                predictor.generate(z, j)

@@ -184,76 +184,49 @@ class ExportedPredictor:
                 exported[name] = jexport.deserialize(f.read())
         return cls(exported, cfg, manifest)
 
-    # -- bucketing (same contract as serve.Predictor; bucketing.py is the
-    # shared dependency-free source, so no model code is imported) ---------
-    def _pad(self, x: np.ndarray):
-        from vae_assoc_tpu import bucketing
-
-        x = np.asarray(x, np.float32)
-        n = x.shape[0]
-        assert n <= bucketing.MAX_BUCKET
-        b = bucketing._bucket(n)
-        if b == n:
-            return x, n
-        return np.concatenate(
-            [x, np.zeros((b - n,) + x.shape[1:], x.dtype)], 0), n
-
-    def _chunked(self, call, x):
-        from vae_assoc_tpu import bucketing
-
-        x = np.asarray(x)
-        cap = bucketing.MAX_BUCKET
-        if x.shape[0] > cap:
-            return np.concatenate(
-                [self._chunked(call, x[lo:lo + cap])
-                 for lo in range(0, x.shape[0], cap)], 0)
-        xp, n = self._pad(x)
-        return np.asarray(call(xp))[:n]
-
     # -- endpoints ---------------------------------------------------------
+    # Pad/chunk bucketing is bucketing.py's (the exact code the live
+    # serve.Predictor runs — numpy-only, so the no-model-code constraint
+    # of a self-contained artifact still holds). The exported StableHLO
+    # programs are traced at float32, hence the cast before chunking.
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
+        from vae_assoc_tpu import bucketing
+
         src = self.cfg.modality_index(src)
         dst = self.cfg.modality_index(dst)
-        return self._chunked(self._call[f"cross_generate_{src}_{dst}"], x)
+        return bucketing.chunked_call(
+            self._call[f"cross_generate_{src}_{dst}"],
+            np.asarray(x, np.float32),
+        )
 
     def reconstruct(self, x, modality: Union[int, str]):
         i = self.cfg.modality_index(modality)
         return self.cross_generate(x, i, i)
 
     def generate(self, z, modality: Union[int, str]):
+        from vae_assoc_tpu import bucketing
+
         j = self.cfg.modality_index(modality)
-        return self._chunked(self._call[f"generate_{j}"], z)
+        return bucketing.chunked_call(
+            self._call[f"generate_{j}"], np.asarray(z, np.float32)
+        )
 
     def transform(self, xs: Sequence[np.ndarray]):
         from vae_assoc_tpu import bucketing
 
-        xs = [np.asarray(x) for x in xs]
-        n = xs[0].shape[0]
-        cap = bucketing.MAX_BUCKET
-        if n > cap:
-            parts = [self.transform([x[lo:lo + cap] for x in xs])
-                     for lo in range(0, n, cap)]
-            return tuple(np.concatenate(p, 0) for p in zip(*parts))
-        padded = [self._pad(x) for x in xs]
-        zs = self._call["transform"]([p for p, _ in padded])
-        return tuple(np.asarray(z)[:n] for z in zs)
+        return bucketing.chunked_multi_call(
+            self._call["transform"],
+            [np.asarray(x, np.float32) for x in xs],
+        )
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024), *,
                all_endpoints: bool = False) -> None:
         """Pre-compile endpoints per bucket (same contract as Predictor)."""
-        k = len(self.cfg.modalities)
-        n_z = self.cfg.modalities[0].arch["n_z"]
-        for b in buckets:
-            xs = [np.zeros((b, m.arch["n_input"]), np.float32)
-                  for m in self.cfg.modalities]
-            for i in range(k):
-                for j in range(k):
-                    self.cross_generate(xs[i], i, j)
-            if all_endpoints:
-                self.transform(xs)
-                z = np.zeros((b, n_z), np.float32)
-                for j in range(k):
-                    self.generate(z, j)
+        from vae_assoc_tpu import bucketing
+
+        bucketing.warmup_endpoints(
+            self, self.cfg, buckets, all_endpoints=all_endpoints
+        )
 
 
 def main(argv=None) -> int:

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vae_assoc_tpu import bucketing
 from vae_assoc_tpu.bucketing import MAX_BUCKET, _bucket  # noqa: F401
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
 from vae_assoc_tpu.models import assoc as assoc_mod
@@ -111,65 +112,37 @@ class Predictor:
         params = jax.tree.map(jnp.copy, model.state.params)
         return cls(params, model.config, **kw)
 
-    # -- bucketing -----------------------------------------------------------
-    def _pad(self, x: np.ndarray):
-        n = x.shape[0]
-        assert n <= MAX_BUCKET  # endpoints chunk before padding
-        b = _bucket(n)
-        if b == n:
-            return jnp.asarray(x), n
-        pad = np.zeros((b - n,) + x.shape[1:], x.dtype)
-        return jnp.asarray(np.concatenate([np.asarray(x), pad], 0)), n
-
     # -- endpoints -----------------------------------------------------------
-    # Batches larger than MAX_BUCKET are split into MAX_BUCKET-row device
-    # calls and re-concatenated — a serving front end must absorb oversize
-    # requests, not 500 on them. Each chunk hits the already-warm largest
-    # bucket, so no new compiles happen.
+    # Pad/chunk bucketing lives ONCE in bucketing.py (shared verbatim with
+    # export.ExportedPredictor so the two surfaces cannot drift): batches
+    # larger than MAX_BUCKET split into MAX_BUCKET-row device calls,
+    # smaller ones pad up to a power-of-two bucket.
     def transform(self, xs: Sequence[np.ndarray]):
         """Per-modality latent means; accepts any batch size."""
-        xs = [np.asarray(x) for x in xs]
-        n = xs[0].shape[0]
-        if n > MAX_BUCKET:
-            parts = [
-                self.transform([x[lo : lo + MAX_BUCKET] for x in xs])
-                for lo in range(0, n, MAX_BUCKET)
-            ]
-            return tuple(np.concatenate(p, 0) for p in zip(*parts))
-        padded = [self._pad(x) for x in xs]
-        zs = self._transform(self.params, [p for p, _ in padded])
-        return tuple(np.asarray(z)[:n] for z, (_, n) in zip(zs, padded))
+        return bucketing.chunked_multi_call(
+            lambda ps: self._transform(self.params, ps), xs
+        )
 
     def generate(self, z, modality: Union[int, str]):
-        z = np.asarray(z)
         # Normalize names → indices BEFORE the jit call: modality is a
         # static arg, so "image" and 0 would otherwise compile (and cache)
         # separately — a warmed-up server would still pay a fresh XLA
         # compile on the first name-addressed request.
         modality = self.cfg.modality_index(modality)
-        if z.shape[0] > MAX_BUCKET:
-            return np.concatenate(
-                [self.generate(z[lo : lo + MAX_BUCKET], modality)
-                 for lo in range(0, z.shape[0], MAX_BUCKET)], 0
-            )
-        zp, n = self._pad(z)
-        return np.asarray(self._generate(self.params, zp, modality=modality))[:n]
+        return bucketing.chunked_call(
+            lambda zp: self._generate(self.params, zp, modality=modality), z
+        )
 
     def reconstruct(self, x, modality: Union[int, str]):
         i = self.cfg.modality_index(modality)
         return self.cross_generate(x, i, i)
 
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
-        x = np.asarray(x)
         src = self.cfg.modality_index(src)  # see generate(): names → indices
         dst = self.cfg.modality_index(dst)
-        if x.shape[0] > MAX_BUCKET:
-            return np.concatenate(
-                [self.cross_generate(x[lo : lo + MAX_BUCKET], src, dst)
-                 for lo in range(0, x.shape[0], MAX_BUCKET)], 0
-            )
-        xp, n = self._pad(x)
-        return np.asarray(self._cross(self.params, xp, src=src, dst=dst))[:n]
+        return bucketing.chunked_call(
+            lambda xp: self._cross(self.params, xp, src=src, dst=dst), x
+        )
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024), *,
                all_endpoints: bool = False) -> None:
@@ -181,19 +154,9 @@ class Predictor:
         `min_batch` bounds the reachable bucket set; request-thread
         compiles measured pathologically slow on tunnel TPU backends).
         """
-        k = len(self.cfg.modalities)
-        for b in buckets:
-            xs = [
-                np.zeros((b, m.arch["n_input"]), np.float32)
-                for m in self.cfg.modalities
-            ]
-            for i in range(k):
-                for j in range(k):
-                    self.cross_generate(xs[i], i, j)
-            if all_endpoints:
-                zs = self.transform(xs)
-                for j in range(k):
-                    self.generate(np.asarray(zs[j]), j)
+        bucketing.warmup_endpoints(
+            self, self.cfg, buckets, all_endpoints=all_endpoints
+        )
 
 
 def _join_futures(futs):

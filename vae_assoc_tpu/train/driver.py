@@ -178,6 +178,17 @@ def _run_sweep(args, cfg, tc, data, val_data, log):
             log.write(model=i, **{f"val_{k}": v for k, v in vm.items()})
             scores.append(vm["total"])
         kind = "val_total"
+    elif lams:
+        # Per-model λ makes `total` incomparable across models (a small λ
+        # down-weights its own assoc term, so argmin(total) would just
+        # pick the smallest λ). Score by the λ-independent ELBO terms.
+        scores = [
+            float(sum(history[-1][f"recon_{m.name}"][i]
+                      + history[-1][f"kl_{m.name}"][i]
+                      for m in cfg.modalities))
+            for i in range(e)
+        ]
+        kind = "final train recon+KL (lambda-independent)"
     else:
         scores = [float(v) for v in history[-1]["total"]]
         kind = "final train total"
@@ -258,6 +269,8 @@ def main(argv=None) -> int:
     if args.sweep_seeds:
         if args.sweep_seeds < 2:
             raise SystemExit("--sweep-seeds needs E >= 2")
+        if args.epochs < 1:
+            raise SystemExit("--sweep-seeds needs --epochs >= 1")
         for bad, name in (
             (args.fused, "--fused"),
             (args.resume, "--resume"),
@@ -416,6 +429,24 @@ def main(argv=None) -> int:
     val_int = args.val_every if val_data is not None else 0
     best_val = float("inf")
     stale = 0  # consecutive validations without a val_total improvement
+    if (args.keep_best and args.resume
+            and os.path.isdir(os.path.join(args.ckpt_dir, "best"))):
+        # Re-seed the best-so-far from the existing best/ checkpoint:
+        # starting from inf would let the first post-resume validation
+        # overwrite a genuinely better checkpoint with a worse one. The
+        # held-out split is identical across restarts (seeded permutation),
+        # so this val_total is comparable with pre-kill values.
+        best_state = ckpt.restore(
+            os.path.join(args.ckpt_dir, "best"), init_train_state(cfg, tc)
+        )
+        best_val = eval_mod.eval_metrics(
+            best_state.params, val_data, cfg, batch_size=tc.batch_size,
+            compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
+            seed=tc.seed,
+        )["total"]
+        del best_state
+        print(f"resume: existing best checkpoint has val_total="
+              f"{best_val:.5f}", flush=True)
 
     def _until(done: int, interval: int) -> int:
         """Epochs until the next interval boundary strictly after `done`."""

@@ -338,7 +338,12 @@ def sweep_loop(
             )
             for k in metrics_acc[0]
         }
-        mean_metrics["samples_per_sec"] = np.full(
+        # Per-model rate (comparable with a single-model train_loop run):
+        # each model consumed n_calls*spc*bs samples in dt. The sweep's
+        # aggregate is E× this — logged separately so per-model JSONL
+        # records never read E× inflated.
+        mean_metrics["samples_per_sec"] = np.full(e, n_calls * spc * bs / dt)
+        mean_metrics["sweep_model_samples_per_sec"] = np.full(
             e, n_calls * spc * bs * e / dt
         )
         history.append(mean_metrics)
