@@ -192,6 +192,61 @@ def test_sweep_forces_xla_path(rng):
     )
 
 
+def test_conv_modality_sweep(rng):
+    """The conv image branch (config-4 family) under the sweep: vmapped
+    conv towers trace and learn (XLA batches the per-model filters), and a
+    member matches its standalone run. use_pallas configs route to the XLA
+    path (module docstring), so this is the config-4 spelling verbatim."""
+    from vae_assoc_tpu.configs import baseline_config
+
+    cfg, tc = baseline_config(4, batch_size=16)
+    assert tc.use_pallas  # the declared config; _sweep_tc routes it to XLA
+    xs = [rng.uniform(0, 1, (16, 784)).astype(np.float32),
+          rng.normal(size=(16, 200)).astype(np.float32)]
+    state = sw.init_sweep_state(cfg, tc, [0, 1])
+    step = sw.make_sweep_step(cfg, tc)
+    first = last = None
+    for _ in range(4):
+        state, m = step(state, xs)
+        if first is None:
+            first = np.asarray(m["total"])
+        last = np.asarray(m["total"])
+    assert np.all(last < first), (first, last)
+
+    import dataclasses
+
+    tc_ref = dataclasses.replace(tc, use_pallas=False)
+    ref = init_train_state(cfg, tc_ref, jax.random.key(1))
+    f = make_train_step(cfg, tc_ref)
+    for _ in range(4):
+        ref, ref_m = f(ref, xs)
+    np.testing.assert_allclose(
+        float(last[1]), float(ref_m["total"]), rtol=1e-5
+    )
+
+
+def test_sweep_state_checkpoints_whole(rng, tmp_path):
+    """The full E-model sweep state is one pytree: orbax saves/restores it
+    unchanged (all E members), so a sweep can kill-and-resume like any
+    single-model run."""
+    from vae_assoc_tpu.utils import checkpoint as ckpt
+
+    cfg, tc = tiny_cfg(), TrainConfig(batch_size=16)
+    xs = _xs(rng, 16)
+    state = sw.init_sweep_state(cfg, tc, [0, 1, 2])
+    state, _ = sw.make_sweep_step(cfg, tc)(state, xs)
+    d = str(tmp_path / "sweep_ckpt")
+    ckpt.save(d, state)
+    template = sw.init_sweep_state(cfg, tc, [0, 1, 2])
+    restored = ckpt.restore(d, template)
+    # Typed PRNG keys can't pass through np.asarray — compare key data.
+    as_data = lambda s: s._replace(rng=jax.random.key_data(s.rng))
+    _leaves_allclose(as_data(restored), as_data(state), rtol=0, atol=0)
+    # Restored state trains on: one more step advances every member.
+    restored, m = sw.make_sweep_step(cfg, tc)(restored, xs)
+    np.testing.assert_array_equal(np.asarray(restored.step), [2, 2, 2])
+
+
 # -- DP composition ------------------------------------------------------------
 
 

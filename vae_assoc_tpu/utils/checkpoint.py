@@ -51,7 +51,10 @@ def save(
     wait(path)
     mgr = _manager(path, keep)
     if step is None:
-        step = int(jax.device_get(state.step))
+        # Sweep states (train/sweep.py) carry an [E] step vector whose
+        # members advance in lockstep; a plain state is a scalar. Either
+        # way the max is the checkpoint's step number.
+        step = int(np.max(jax.device_get(state.step)))
     # PRNG keys are typed arrays; store raw key data for portability.
     payload = state._replace(rng=jax.random.key_data(state.rng))
     mgr.save(step, args=ocp.args.StandardSave(payload._asdict()))
