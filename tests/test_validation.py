@@ -163,6 +163,23 @@ def test_driver_validation_end_to_end(tmp_path):
     assert "new best val_total" in out.stdout
 
 
+def test_driver_validation_composes_with_fused(tmp_path):
+    """--fused + --val-frac: the chunk loop bounds each fused device
+    program at the next validation boundary, so whole-run fusion and
+    periodic held-out evaluation compose."""
+    metrics = tmp_path / "m.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "256",
+         "--batch-size", "64", "--epochs", "4", "--fused",
+         "--val-frac", "0.25", "--val-every", "2", "--metrics", str(metrics)],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    recs = read_jsonl(str(metrics))
+    assert [r["epoch"] for r in recs if "val_total" in r] == [1, 3], recs
+
+
 def test_driver_keep_best_resume_reseeds_best(tmp_path):
     """--resume with --keep-best must re-seed best-so-far from the existing
     best/ checkpoint: starting from inf would let the first post-resume
