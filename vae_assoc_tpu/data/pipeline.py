@@ -25,7 +25,11 @@ from vae_assoc_tpu.ops.resample import normalize_and_flatten, unflatten_trajecto
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_timesteps", "image_size", "raster_points")
+    jax.jit,
+    static_argnames=(
+        "n_timesteps", "image_size", "raster_points", "traj_encoding",
+        "rbf_centers",
+    ),
 )
 def featurize_pairs(
     points: jax.Array,
@@ -34,10 +38,32 @@ def featurize_pairs(
     n_timesteps: int = 100,
     image_size: int = 28,
     raster_points: Optional[int] = None,
+    traj_encoding: str = "resample",
+    rbf_centers: int = 100,
 ):
     """[B, max_pts, 2] raw strokes → (images [B, size²] in [0,1],
-    trajs [B, 2*n_timesteps] in [-1,1]). One fused device program."""
-    trajs = normalize_and_flatten(points, lengths, n_timesteps)
+    trajectory features). One fused device program.
+
+    traj_encoding selects the trajectory parameterization (SURVEY.md §2.1
+    "Trajectory parameterization"):
+      - "resample" (the reference's featurizer): arc-length resample to
+        n_timesteps, flatten → [B, 2*n_timesteps] in [-1, 1];
+      - "rbf" (the reference ecosystem's pytrajkin-style functional
+        variant): the resampled curve's ridge RBF fit → [B, 2*rbf_centers]
+        weight vectors (ops/rbf.py). Invert either with
+        `PairedDataset.decode_trajectories`.
+    """
+    if traj_encoding not in ("resample", "rbf"):
+        raise ValueError(
+            f"traj_encoding must be 'resample' or 'rbf', got {traj_encoding!r}"
+        )
+    if traj_encoding == "rbf":
+        from vae_assoc_tpu.ops.rbf import fit_rbf
+
+        curves = normalize_and_flatten(points, lengths, n_timesteps, flatten=False)
+        trajs = fit_rbf(curves, n_centers=rbf_centers)
+    else:
+        trajs = normalize_and_flatten(points, lengths, n_timesteps)
     # Rasterize from a denser resample so thin fast strokes stay connected.
     rp = raster_points or max(2 * n_timesteps, 128)
     dense = normalize_and_flatten(points, lengths, rp, flatten=False)
@@ -98,13 +124,25 @@ class PairedDataset:
         *,
         n_timesteps: int = 100,
         image_size: int = 28,
+        traj_encoding: str = "resample",
+        rbf_centers: int = 100,
     ):
         self.n_timesteps = n_timesteps
         self.image_size = image_size
+        self.traj_encoding = traj_encoding
+        self.rbf_centers = rbf_centers
         self.labels = labels
         self._points = jax.device_put(jnp.asarray(points, jnp.float32))
         self._lengths = jax.device_put(jnp.asarray(lengths, jnp.int32))
         self._features = None
+
+    @property
+    def traj_features(self) -> int:
+        """Trajectory feature width under the configured encoding — the
+        trajectory modality's arch n_input."""
+        if self.traj_encoding == "rbf":
+            return 2 * self.rbf_centers
+        return 2 * self.n_timesteps
 
     @classmethod
     def from_synthetic(cls, n_samples: int, *, seed: int = 0, **kw):
@@ -124,17 +162,34 @@ class PairedDataset:
         return int(self._points.shape[0])
 
     def features(self):
-        """(images [N, size²], trajs [N, 2T]) — computed on device, cached."""
+        """(images [N, size²], traj features [N, traj_features]) — computed
+        on device, cached."""
         if self._features is None:
             self._features = featurize_pairs(
                 self._points,
                 self._lengths,
                 n_timesteps=self.n_timesteps,
                 image_size=self.image_size,
+                traj_encoding=self.traj_encoding,
+                rbf_centers=self.rbf_centers,
             )
         return self._features
 
+    def decode_trajectories(self, trajs=None):
+        """Trajectory features → [N, T, 2] curves (plotting/robot output).
+
+        Inverts whichever encoding produced the features — flattened
+        resampled points reshape; RBF weight vectors decode through the
+        basis (ops/rbf.rbf_reconstruct). Accepts model *generated*
+        features too (the cross-modal img→traj path)."""
+        if trajs is None:
+            trajs = self.features()[1]
+        if self.traj_encoding == "rbf":
+            from vae_assoc_tpu.ops.rbf import rbf_reconstruct
+
+            return rbf_reconstruct(jnp.asarray(trajs), self.n_timesteps)
+        return unflatten_trajectory(jnp.asarray(trajs))
+
     def trajectories_2d(self):
-        """[N, T, 2] unflattened normalized trajectories (for plotting/robot)."""
-        _, trajs = self.features()
-        return unflatten_trajectory(trajs)
+        """[N, T, 2] normalized trajectory curves (for plotting/robot)."""
+        return self.decode_trajectories()

@@ -36,6 +36,15 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="synthetic dataset size")
     p.add_argument("--uji-paths", nargs="*", default=[],
                    help="UJI Pen Characters v2 files (--data uji)")
+    p.add_argument("--traj-encoding", choices=("resample", "rbf"),
+                   default="resample",
+                   help="trajectory parameterization: 'resample' (flattened "
+                        "arc-length resample, the reference featurizer) or "
+                        "'rbf' (functional RBF weight vectors, the "
+                        "reference-ecosystem pytrajkin variant; the "
+                        "trajectory arch's n_input adapts to 2*centers)")
+    p.add_argument("--rbf-centers", type=int, default=100,
+                   help="RBF basis size for --traj-encoding rbf")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--steps-per-call", type=int, default=None)
     p.add_argument("--learning-rate", type=float, default=None)
@@ -127,12 +136,15 @@ def build_argparser() -> argparse.ArgumentParser:
 def load_data(args):
     from vae_assoc_tpu.data.pipeline import PairedDataset
 
+    kw = dict(traj_encoding=args.traj_encoding, rbf_centers=args.rbf_centers)
     if args.data == "uji":
         if not args.uji_paths:
             raise SystemExit("--data uji requires --uji-paths")
-        ds = PairedDataset.from_uji(args.uji_paths)
+        ds = PairedDataset.from_uji(args.uji_paths, **kw)
     else:
-        ds = PairedDataset.from_synthetic(args.n_samples, seed=args.seed or 0)
+        ds = PairedDataset.from_synthetic(
+            args.n_samples, seed=args.seed or 0, **kw
+        )
     imgs, trajs = ds.features()
     return ds, [imgs, trajs]
 
@@ -255,6 +267,16 @@ def main(argv=None) -> int:
                              "path (no --use-pallas)")
         overrides["use_pallas"] = False
     cfg, tc = baseline_config(args.config, **overrides)
+    if args.traj_encoding == "rbf":
+        # The trajectory modality consumes RBF weight vectors, so its arch
+        # n_input follows the encoding width (2 * centers). 100 centers
+        # matches the default 200-feature arch exactly.
+        n_in = 2 * args.rbf_centers
+        cfg = dataclasses.replace(cfg, modalities=tuple(
+            dataclasses.replace(m, arch={**dict(m.arch), "n_input": n_in})
+            if m.name == "trajectory" else m
+            for m in cfg.modalities
+        ))
     k = len(cfg.modalities)
 
     if args.val_frac > 0 and args.val_every < 1:
@@ -543,6 +565,12 @@ def main(argv=None) -> int:
                     compute_dtype=tc.compute_dtype,
                 )
             )
+            # Generated features are in the trajectory encoding's space;
+            # decode RBF weight vectors back to curves before drawing.
+            if args.traj_encoding == "rbf":
+                gen_traj = np.asarray(
+                    ds.decode_trajectories(gen_traj)
+                ).reshape(gen_traj.shape[0], -1)
             viz.trajectories_over_images(imgs, gen_traj).savefig(
                 os.path.join(args.plots_dir, "image_to_trajectory.png"), dpi=120
             )
