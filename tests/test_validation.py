@@ -163,6 +163,30 @@ def test_driver_validation_end_to_end(tmp_path):
     assert "new best val_total" in out.stdout
 
 
+def test_driver_validation_composes_with_sharded_layouts(tmp_path):
+    """--val-frac under --mesh 8 (DP) and --mesh 8 --fsdp: eval_metrics'
+    jitted programs must accept GSPMD-sharded params (XLA inserts the
+    gathers), and the val epochs land on the same boundaries as on one
+    device."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    for extra in ([], ["--fsdp"]):
+        metrics = tmp_path / f"m{'_'.join(extra)}.jsonl"
+        out = subprocess.run(
+            [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+             "--config", "3", "--data", "synthetic", "--n-samples", "320",
+             "--batch-size", "64", "--epochs", "2", "--mesh", "8",
+             "--val-frac", "0.2", "--metrics", str(metrics)] + extra,
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert out.returncode == 0, (extra, out.stderr[-3000:])
+        recs = read_jsonl(str(metrics))
+        val_epochs = [r["epoch"] for r in recs if "val_total" in r]
+        assert val_epochs == [0, 1], (extra, recs)
+
+
 def test_driver_validation_composes_with_fused(tmp_path):
     """--fused + --val-frac: the chunk loop bounds each fused device
     program at the next validation boundary, so whole-run fusion and
