@@ -128,6 +128,30 @@ def test_vary_assoc_matches_standalone_config(rng):
     )
 
 
+def test_sweep_with_grad_clip_and_accumulation(rng):
+    """The production optimizer options flow through the vmapped step:
+    MultiSteps accumulators and clip state carry the model axis, params
+    hold still on non-boundary micro-steps, and a member matches its
+    standalone accumulating run."""
+    cfg = tiny_cfg()
+    tc = TrainConfig(batch_size=16, grad_clip_norm=1.0, accum_steps=2)
+    xs = _xs(rng, 16)
+    state = sw.init_sweep_state(cfg, tc, [0, 1])
+    step = sw.make_sweep_step(cfg, tc)
+    p0 = jax.tree.leaves(state.params)[0].copy()
+    state, _ = step(state, xs)  # micro-step 1 of 2: params must hold still
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+    state, _ = step(state, xs)  # boundary: one Adam update applies
+    assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]), np.asarray(p0))
+    ref = init_train_state(cfg, tc, jax.random.key(1))
+    f = make_train_step(cfg, tc)
+    for _ in range(2):
+        ref, _ = f(ref, xs)
+    _leaves_allclose(
+        sw.select_model(state, 1).params, ref.params, rtol=1e-4, atol=1e-6
+    )
+
+
 def test_vary_lr_rejects_schedules():
     cfg, tc = tiny_cfg(), TrainConfig(
         batch_size=16, lr_schedule="cosine", decay_steps=10
@@ -432,3 +456,9 @@ def test_driver_sweep_flag_validation(tmp_path):
         env=_driver_env(), capture_output=True, text=True, timeout=600,
     )
     assert out.returncode != 0 and "--epochs >= 1" in out.stderr
+    out = subprocess.run(
+        base + ["--sweep-seeds", "2", "--sweep-lrs", "1e-3", "1e-2",
+                "--lr-schedule", "cosine", "--decay-steps", "10"],
+        env=_driver_env(), capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode != 0 and "constant LR schedule" in out.stderr

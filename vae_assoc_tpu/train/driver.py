@@ -316,6 +316,14 @@ def main(argv=None) -> int:
                     f"{nm} needs one value per model "
                     f"({args.sweep_seeds}), got {len(lst)}"
                 )
+        if args.sweep_lrs is not None and (
+                args.lr_schedule not in (None, "constant")
+                or (args.warmup_steps or 0) > 0):
+            raise SystemExit(
+                "--sweep-lrs requires the constant LR schedule with no "
+                "warmup (per-model rates scale the Adam direction; a "
+                "per-model schedule horizon has no state to live in)"
+            )
     elif args.sweep_lrs is not None or args.sweep_lambdas is not None:
         raise SystemExit("--sweep-lrs/--sweep-lambdas require --sweep-seeds")
 
