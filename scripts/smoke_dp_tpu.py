@@ -128,5 +128,54 @@ results["conv_pallas"] = dict(custom_calls=n_cc4,
                               loss_last=float(last4[-1]))
 print(f"conv_pallas DP: loss {first4[0]:.2f} -> {last4[-1]:.2f}")
 
+# ZeRO leg (parallel/zero.py): the config-5 megakernel path with params +
+# Adam moments stored as flat data-axis shards — per-step weight all-gathers
+# and gradient reduce-scatters AROUND the Mosaic kernels. This is the layout
+# GSPMD FSDP cannot run (it must take the jnp path); assert the compiled
+# program contains BOTH the Pallas custom-calls and the ZeRO collective pair.
+from vae_assoc_tpu.parallel import (
+    gather_zero_train_state,
+    init_zero_train_state,
+    make_zero_train_step,
+)
+
+cfgz, tcz = baseline_config(5, use_pallas="mega")
+statez = init_zero_train_state(cfgz, tcz, mesh)
+stepz = make_zero_train_step(cfgz, tcz, mesh)
+xsz = shard_batch(
+    mesh,
+    [
+        rng.uniform(0, 1, (tcz.steps_per_call, tcz.batch_size, 784)).astype(np.float32),
+        rng.normal(size=(tcz.steps_per_call, tcz.batch_size, 200)).astype(np.float32),
+    ],
+    leading_scan_axis=True,
+)
+hloz = stepz.lower(statez, xsz).compile().as_text()
+n_ccz = hloz.count("tpu_custom_call")
+has_ag, has_rs = "all-gather" in hloz, "reduce-scatter" in hloz
+print(f"ZeRO mega: {n_ccz} tpu_custom_call sites; all-gather={has_ag}, "
+      f"reduce-scatter={has_rs} (collectives may fold away on a 1-chip mesh)")
+assert n_ccz > 0, "ZeRO layout compiled without Pallas custom-calls"
+if len(jax.devices()) > 1:
+    assert has_ag and has_rs, "multi-chip ZeRO step lost its collectives"
+statez, mz = stepz(statez, xsz)
+firstz = np.asarray(jax.device_get(mz["total"]), np.float32)
+n_calls = 20
+t0 = time.perf_counter()
+for _ in range(n_calls):
+    statez, mz = stepz(statez, xsz)
+lastz = np.asarray(jax.device_get(mz["total"]), np.float32)
+dtz = time.perf_counter() - t0
+assert np.all(np.isfinite(firstz)) and np.all(np.isfinite(lastz))
+assert float(lastz[-1]) < float(firstz[0]), (firstz, lastz)
+spsz = n_calls * tcz.steps_per_call * tcz.batch_size / dtz
+fullz = gather_zero_train_state(statez, cfgz, tcz)
+assert fullz.params["modalities"][0]["recog"]["h1"]["w"].shape == (784, 500)
+results["zero_mega"] = dict(custom_calls=n_ccz, samples_per_sec=spsz,
+                            loss_first=float(firstz[0]),
+                            loss_last=float(lastz[-1]))
+print(f"ZeRO mega: loss {firstz[0]:.2f} -> {lastz[-1]:.2f}, "
+      f"{spsz:,.0f} samples/sec")
+
 print("RESULTS", results)
 print("ALL CHECKS PASSED: shard_map x Pallas executed as compiled Mosaic code")

@@ -156,6 +156,42 @@ def test_driver_config5_sharded_layout_flags(tmp_path):
     assert "jnp model path" in out.stderr
 
 
+def test_driver_config5_zero_layout(tmp_path):
+    """--zero runs config 5 WITH its declared Pallas kernels (unlike --fsdp,
+    which must force the jnp path), gathers the flat-sharded state for
+    validation/checkpoint/eval, and rejects layout-conflicting flags."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    metrics = tmp_path / "metrics.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "5", "--data", "synthetic", "--n-samples", "256",
+         "--batch-size", "64", "--steps-per-call", "1", "--epochs", "2",
+         "--mesh", "8", "--zero", "--val-frac", "0.25",
+         "--ckpt-dir", str(tmp_path / "ckpt"), "--metrics", str(metrics)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "ZeRO-sharded data-parallel" in out.stdout
+    recs = read_jsonl(str(metrics))
+    assert any("val_total" in r for r in recs), recs
+    assert any("mse_image->trajectory" in r for r in recs), recs
+    for bad, msg in (
+        (["--config", "5", "--mesh", "8", "--zero", "--fsdp"],
+         "owns the whole layout"),
+        # config 3 never auto-meshes, so a bare --zero has no mesh.
+        (["--config", "3", "--zero"], "require --mesh"),
+    ):
+        args = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+                "--epochs", "1"] + bad
+        out = subprocess.run(args, env=env, capture_output=True, text=True,
+                             timeout=600)
+        assert out.returncode != 0
+        assert msg in out.stderr, (bad, out.stderr[-2000:])
+
+
 def test_resume_reproduces_uninterrupted_run(rng):
     """Checkpoint determinism: save at step N, train M more; restore and
     retrain M — identical losses (exact-resume guarantee, SURVEY.md §5)."""

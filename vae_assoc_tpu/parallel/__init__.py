@@ -26,6 +26,13 @@ from vae_assoc_tpu.parallel.tp_fsdp import (
     init_tp_fsdp_train_state,
     tp_fsdp_train_loop,
 )
+from vae_assoc_tpu.parallel.zero import (
+    shard_zero_train_state,
+    gather_zero_train_state,
+    make_zero_train_step,
+    init_zero_train_state,
+    zero_train_loop,
+)
 from vae_assoc_tpu.parallel.tp import (
     tp_param_specs,
     shard_params,
@@ -57,6 +64,11 @@ __all__ = [
     "make_tp_fsdp_train_step",
     "init_tp_fsdp_train_state",
     "tp_fsdp_train_loop",
+    "shard_zero_train_state",
+    "gather_zero_train_state",
+    "make_zero_train_step",
+    "init_zero_train_state",
+    "zero_train_loop",
     "tp_param_specs",
     "shard_params",
     "shard_tp_batch",

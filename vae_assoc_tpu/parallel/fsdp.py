@@ -137,9 +137,11 @@ def _check_fsdp(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
         )
     if tc.use_pallas:
         raise ValueError(
-            "FSDP runs the jnp model path: Pallas kernels consume whole "
-            "(per-shard) arrays and cannot consume fan-in-sharded weights. "
-            "Use TrainConfig(use_pallas=False) with FSDP."
+            "GSPMD FSDP runs the jnp model path: the partitioner cannot "
+            "split a pallas_call over fan-in-sharded weights. Either use "
+            "TrainConfig(use_pallas=False) here, or switch to the shard_map "
+            "ZeRO layout (parallel/zero.py, driver --zero), which shards "
+            "state identically AND keeps every Pallas kernel."
         )
     _check_gspmd_encoders(cfg, "FSDP")
 

@@ -130,6 +130,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "instead of replicating them; combine with "
                         "--model-parallel K for the TP×FSDP layout "
                         "(parallel/tp_fsdp.py)")
+    p.add_argument("--zero", action="store_true",
+                   help="with --mesh N, ZeRO-shard params + optimizer state "
+                        "over the data axis via shard_map (parallel/zero.py: "
+                        "all-gather weights / reduce-scatter grads). Unlike "
+                        "--fsdp this composes with the fused Pallas kernels "
+                        "(--use-pallas, config 5's default)")
     return p
 
 
@@ -256,6 +262,10 @@ def main(argv=None) -> int:
         overrides["compute_dtype"] = jnp.bfloat16
     if args.use_pallas:
         overrides["use_pallas"] = True
+    if args.zero and (args.fsdp or args.model_parallel > 1):
+        raise SystemExit("--zero owns the whole layout (a 1-D shard_map "
+                         "data mesh); it cannot combine with --fsdp or "
+                         "--model-parallel")
     if args.fsdp or args.model_parallel > 1:
         # TP/FSDP lay out the jnp step (GSPMD shardings on the plain model
         # path). The *effective* kernel choice comes from the config, not
@@ -302,6 +312,7 @@ def main(argv=None) -> int:
             (bool(args.mesh and args.mesh > 1), "--mesh"),
             (args.model_parallel > 1, "--model-parallel"),
             (args.fsdp, "--fsdp"),
+            (args.zero, "--zero"),
         ):
             if bad:
                 raise SystemExit(
@@ -365,12 +376,15 @@ def main(argv=None) -> int:
         from vae_assoc_tpu.parallel import (
             dp_train_loop,
             fsdp_train_loop,
+            gather_zero_train_state,
             make_mesh,
             replicate,
             shard_fsdp_train_state,
             shard_tp_fsdp_train_state,
+            shard_zero_train_state,
             tp_fsdp_train_loop,
             tp_train_loop,
+            zero_train_loop,
         )
         from vae_assoc_tpu.parallel.tp import shard_tp_train_state
 
@@ -391,15 +405,20 @@ def main(argv=None) -> int:
         elif args.fsdp:
             if tc.use_pallas:  # defense: the override above forces False
                 raise SystemExit("--fsdp runs the jnp model path "
-                                 "(no --use-pallas)")
+                                 "(no --use-pallas; --zero keeps the kernels)")
             mesh = make_mesh(n_mesh)
             print(f"fully-sharded data-parallel over {n_mesh} devices",
                   flush=True)
+        elif args.zero:
+            mesh = make_mesh(n_mesh)
+            print(f"ZeRO-sharded data-parallel (shard_map) over {n_mesh} "
+                  "devices", flush=True)
         else:
             mesh = make_mesh(n_mesh)
             print(f"data-parallel over {n_mesh} devices", flush=True)
-    elif mp > 1 or args.fsdp:
-        raise SystemExit("--model-parallel/--fsdp require --mesh N with N > 1")
+    elif mp > 1 or args.fsdp or args.zero:
+        raise SystemExit(
+            "--model-parallel/--fsdp/--zero require --mesh N with N > 1")
 
     state = None if args.sweep_seeds else init_train_state(cfg, tc)
     if args.resume:
@@ -414,8 +433,16 @@ def main(argv=None) -> int:
             state = shard_tp_train_state(mesh, state, cfg, tc)
         elif args.fsdp:
             state = shard_fsdp_train_state(mesh, state, cfg, tc)
+        elif args.zero:
+            state = shard_zero_train_state(mesh, state, cfg, tc)
         else:
             state = replicate(mesh, state)
+
+    # ZeRO stores flat data-axis shards; validation/checkpoint/eval consume
+    # the plain full-array TrainState, so they go through this adapter
+    # (identity everywhere else). Pure reshaping — no collectives.
+    def to_full(s):
+        return gather_zero_train_state(s, cfg, tc) if args.zero else s
 
     log = MetricsLogger(args.metrics, echo=True, tensorboard_dir=args.tensorboard)
 
@@ -428,6 +455,8 @@ def main(argv=None) -> int:
                 return tp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             if args.fsdp:
                 return fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
+            if args.zero:
+                return zero_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
@@ -511,7 +540,7 @@ def main(argv=None) -> int:
         epochs_done += n
         last_chunk = epochs_done >= args.epochs
         if val_int and (epochs_done % val_int == 0 or last_chunk):
-            run_validation(state, epochs_done - 1)
+            run_validation(to_full(state), epochs_done - 1)
             if (args.early_stop_patience > 0
                     and stale >= args.early_stop_patience
                     and not last_chunk):
@@ -520,8 +549,9 @@ def main(argv=None) -> int:
                       f"(best {best_val:.5f})", flush=True)
                 break
         if ckpt_int and epochs_done % ckpt_int == 0 and not last_chunk:
-            ckpt.save(args.ckpt_dir, state)
+            ckpt.save(args.ckpt_dir, to_full(state))
 
+    state = to_full(state)  # post-train eval/plots/ckpt use full arrays
     if args.ckpt_dir:
         ckpt.save(args.ckpt_dir, state)
         print(f"checkpoint saved to {args.ckpt_dir}", flush=True)

@@ -61,18 +61,30 @@ def lr_schedule_fn(tc: TrainConfig):
     return main
 
 
-def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+def make_optimizer(
+    tc: TrainConfig, *, clip_transform=None
+) -> optax.GradientTransformation:
     """The ONE optimizer source: Adam with the reference's (TF-default)
     hyperparameters, optionally extended with global-norm gradient
     clipping, an LR schedule, and gradient accumulation (configs.py
     TrainConfig docstring). Every training path — single-device, fused
-    scan, DP shard_map, TP/FSDP GSPMD — builds its update from here, so
-    the features compose with all of them by construction."""
+    scan, DP shard_map, TP/FSDP GSPMD, shard_map ZeRO — builds its update
+    from here, so the features compose with all of them by construction.
+
+    clip_transform: optional replacement for the `grad_clip_norm` stage
+    (used by `parallel.zero` to psum the norm across gradient shards);
+    chain position — and therefore accumulation×clip semantics — is
+    identical either way. Ignored when grad_clip_norm is 0."""
     adam = optax.adam(
         lr_schedule_fn(tc), b1=tc.adam_b1, b2=tc.adam_b2, eps=tc.adam_eps
     )
     if tc.grad_clip_norm > 0:
-        opt = optax.chain(optax.clip_by_global_norm(tc.grad_clip_norm), adam)
+        clip = (
+            clip_transform
+            if clip_transform is not None
+            else optax.clip_by_global_norm(tc.grad_clip_norm)
+        )
+        opt = optax.chain(clip, adam)
     else:
         opt = adam
     if tc.accum_steps > 1:
