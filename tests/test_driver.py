@@ -110,6 +110,8 @@ def test_driver_cli_end_to_end(tmp_path):
     assert len(totals) == 3
     mse_recs = [r for r in recs if "mse_image->trajectory" in r]
     assert mse_recs, recs
+    rec_recs = [r for r in recs if "knn_image->trajectory" in r]
+    assert rec_recs and 0.0 <= rec_recs[0]["knn_image->trajectory"] <= 1.0
     assert (plots / "reconstructions.png").exists()
     assert (plots / "image_to_trajectory.png").exists()
     assert (plots / "latent_scatter.png").exists()

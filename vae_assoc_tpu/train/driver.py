@@ -566,6 +566,16 @@ def main(argv=None) -> int:
         compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
     )
     log.write(**{f"mse_{k}": v for k, v in mse.items()})
+    if eval_labels is not None and n_eval >= 2:
+        # Latent-space recognition (the paper's second metric): LOO k-NN
+        # accuracy per modality + cross-modal transfer grids.
+        rec = eval_mod.recognition_accuracy(
+            state.params, eval_xs, np.asarray(eval_labels)[:n_eval], cfg,
+            compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
+        )
+        log.write(**rec)
+        print("recognition:",
+              " ".join(f"{k}={v:.3f}" for k, v in rec.items()), flush=True)
 
     if args.plots_dir and k >= 1:
         os.makedirs(args.plots_dir, exist_ok=True)

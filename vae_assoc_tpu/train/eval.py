@@ -103,6 +103,93 @@ def _chunked_metrics_fn(cfg: AssocConfig, compute_dtype, use_pallas):
     return jax.jit(run)
 
 
+def _knn_classify(train_z, train_labels, query_z, n_classes, k, mask_diag):
+    """k-NN class prediction on the MXU: one [Q, N] squared-distance matrix
+    via ‖a‖² + ‖b‖² − 2a·b (a single matmul), `lax.top_k` neighbors, and a
+    one-hot vote count. `mask_diag` excludes query i's own row i of the
+    train set (leave-one-out — without it self-matches make every
+    same-set accuracy a trivial 1.0; for cross-modal grids it excludes the
+    query's own PAIRED sample, which shares its label by construction)."""
+    q32 = query_z.astype(jnp.float32)
+    t32 = train_z.astype(jnp.float32)
+    d2 = (
+        jnp.sum(q32 * q32, axis=1, keepdims=True)
+        - 2.0 * q32 @ t32.T
+        + jnp.sum(t32 * t32, axis=1)[None, :]
+    )
+    if mask_diag:
+        n = t32.shape[0]
+        d2 = jnp.where(jnp.eye(n, dtype=bool), jnp.inf, d2)
+    _, idx = jax.lax.top_k(-d2, k)  # [Q, k] nearest
+    votes = jax.nn.one_hot(train_labels[idx], n_classes, dtype=jnp.float32)
+    # argmax breaks count ties toward the smaller class id — deterministic.
+    return jnp.argmax(jnp.sum(votes, axis=1), axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _recognition_fn(cfg: AssocConfig, n_classes, k, compute_dtype, use_pallas):
+    def run(params, xs, labels):
+        zs = assoc_mod.transform(
+            params, list(xs), cfg,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+        out = {}
+        kk = len(cfg.modalities)
+        for i in range(kk):
+            for j in range(kk):
+                pred = _knn_classify(zs[i], labels, zs[j], n_classes, k, True)
+                acc = jnp.mean((pred == labels).astype(jnp.float32))
+                ni, nj = cfg.modalities[i].name, cfg.modalities[j].name
+                out[f"knn_{ni}" if i == j else f"knn_{ni}->{nj}"] = acc
+        return out
+
+    return jax.jit(run)
+
+
+def recognition_accuracy(
+    params,
+    xs,
+    labels,
+    cfg,
+    *,
+    k: int = 5,
+    compute_dtype=jnp.float32,
+    use_pallas=False,
+    max_samples: int = 4096,
+) -> dict:
+    """Latent-space recognition: the paper's second metric (SURVEY.md §0 —
+    AAAI-17 evaluates character recognition from the latent encodings, not
+    just generation quality). Leave-one-out k-NN over the z-means:
+
+    - ``knn_<name>``: classify modality m's latents among themselves — how
+      class-structured each latent space is;
+    - ``knn_<a>-><b>``: classify modality b's latents using modality a's
+      latents as the reference set — nonzero transfer is DIRECT evidence
+      the association term aligned the two spaces (with λ=0 the spaces are
+      arbitrary rotations of each other and transfer collapses to chance).
+
+    The reference repo itself never implemented this harness (it eyeballed
+    plots); rebuilt here because the association loss's entire purpose is
+    measured by it. All distance work runs jitted on device (one matmul +
+    top_k per grid cell); `max_samples` caps the [N, N] distance matrix
+    (4096² fp32 = 64 MB — comfortable; raise it deliberately if needed).
+    """
+    import numpy as np
+
+    labels = np.asarray(labels)
+    n = min(int(labels.shape[0]), int(xs[0].shape[0]), max_samples)
+    if n < 2:
+        raise ValueError(f"recognition_accuracy needs >= 2 samples, got {n}")
+    labels = labels[:n].astype(np.int32)
+    n_classes = int(labels.max()) + 1
+    k_eff = min(k, n - 1)  # LOO leaves n-1 candidate neighbors
+    fn = _recognition_fn(
+        cfg, n_classes, k_eff, jnp.dtype(compute_dtype), bool(use_pallas)
+    )
+    out = fn(params, [jnp.asarray(x[:n]) for x in xs], jnp.asarray(labels))
+    return {key: float(v) for key, v in out.items()}
+
+
 def eval_metrics(
     params,
     xs,
