@@ -10,7 +10,7 @@ wiring) so the ledger closes:
   A. e2e train step: encoder="conv" (XLA) vs "conv_pallas" (banded)
   B. conv tower fwd+bwd in isolation (the 4 conv layers composed with
      their activations, grads wrt x and all conv weights)
-  C. band-matrix build alone (the per-step `_build_m` outer products for
+  C. band-matrix build alone (the per-step `_build_ms` outer products for
      all 4 convs), fwd and fwd+grad
   D. non-conv remainder (dense heads + sampler + loss + Adam): the XLA
      e2e step minus the XLA tower time — shared by both variants

@@ -106,6 +106,23 @@ def test_export_manifest_guards(exported, tmp_path):
         ExportedPredictor.load(str(bad))
 
 
+def test_export_load_expands_home(exported, rng, monkeypatch):
+    """'~'-relative artifact paths load (regression: the manifest check
+    expanded '~' but the endpoint files were opened with the raw path, so
+    a valid '~/...' directory failed with FileNotFoundError mid-load)."""
+    import os
+
+    pred, _, art = exported
+    monkeypatch.setenv("HOME", str(os.path.dirname(str(art))))
+    ep = ExportedPredictor.load("~/" + os.path.basename(str(art)))
+    x = rng.uniform(0, 1, (4, 24)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(ep.cross_generate(x, 0, 1)),
+        np.asarray(pred.cross_generate(x, 0, 1)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
 def test_export_serves_over_http(exported, rng):
     """ExportedPredictor duck-types into ModelServer + MicroBatcher: the
     full HTTP path works with no model classes behind it."""

@@ -88,7 +88,13 @@ def test_predictor_warmup_and_oversize_chunking(model, rng, monkeypatch):
     want_cross = pred.cross_generate(x, 0, 1)
     want_z = pred.transform([x, x])
     want_gen = pred.generate(np.asarray(want_z[0]), 1)
-    monkeypatch.setattr(serve_mod, "MAX_BUCKET", 8)  # 21 rows → 3 chunks
+    # Predictor's chunking reads bucketing.MAX_BUCKET (serve re-exports the
+    # name but never reads its own copy) — patch BOTH so the test actually
+    # exercises chunked_call, like tests/test_export.py does.
+    import vae_assoc_tpu.bucketing as bucketing_mod
+
+    monkeypatch.setattr(bucketing_mod, "MAX_BUCKET", 8)  # 21 rows → 3 chunks
+    monkeypatch.setattr(serve_mod, "MAX_BUCKET", 8)
     got_cross = pred.cross_generate(x, 0, 1)
     assert got_cross.shape == (21, 24)
     # Chunked [8,D] buckets vs one [32,D] bucket are different XLA

@@ -165,8 +165,11 @@ class ExportedPredictor:
 
         from vae_assoc_tpu.configs import config_from_dict
 
-        mpath = os.path.join(os.path.abspath(os.path.expanduser(path)),
-                             MANIFEST)
+        # Normalize once and use it everywhere: open() does not expand '~',
+        # so reading endpoint files with the raw path would FileNotFoundError
+        # on the same directory whose manifest just resolved fine.
+        path = os.path.abspath(os.path.expanduser(path))
+        mpath = os.path.join(path, MANIFEST)
         if not os.path.exists(mpath):
             raise FileNotFoundError(
                 f"no {MANIFEST} under {path} — write artifacts with "

@@ -31,7 +31,7 @@ A round-2 Pallas dM kernel was measured and removed: keeping Ms + the dM
 accumulator VMEM-resident squeezed backward batch tiles to 8 rows and
 starved the MXU (ledger in docs/PERF.md). The M matrices are built from
 `w` by differentiable outer products against constant 0/1 band matrices
-(see `_build_m`), so `jax.grad` w.r.t. the HWIO kernel flows end-to-end
+(see `_build_ms`), so `jax.grad` w.r.t. the HWIO kernel flows end-to-end
 with no conv-specific gradient calculus.
 
 Public drop-ins mirror kernels/conv.py: `conv3x3_s2`, `convt3x3_s2`,
@@ -325,27 +325,16 @@ def _band_mats_t2(w_img):
     return tuple(bs)
 
 
-def _build_m(w_hwio, dy, band_mats, cin, cout):
-    """M_dy = sum_dx B_dx (x) w[dy, dx] -- outer products against constant
-    band matrices, i.e. three vectorized broadcast-multiplies. (A
-    scatter-add build was measured at ~1 ms/conv on TPU -- 3x the matmul
-    kernel itself -- and its autodiff emitted gathers; the einsum build
-    differentiates to another einsum, so dw is matmul-fast.)"""
-    m = None
-    for dx in range(_K):
-        t = jnp.einsum("cp,io->cipo", band_mats[dx], w_hwio[dy, dx])
-        m = t if m is None else m + t
-    ncols, ow = band_mats[0].shape
-    return m.reshape(ncols * cin, ow * cout)
-
-
 def _build_ms(w_hwio, band_mats, cin, cout):
-    """All three M_dy in ONE einsum: [3, ncols·cin, ow·cout].
-
-    Equivalent to ``stack([_build_m(w, dy, ...) for dy])`` but a single
-    XLA op instead of 9 small outer-product launches per conv — the
-    per-step band build measured ~0.6 ms/step across config-4's four
-    convs, dominated by launch overhead, not FLOPs (docs/PERF.md)."""
+    """All three banded matrices M_dy = Σ_dx B_dx ⊗ w[dy, dx] in ONE
+    einsum: [3, ncols·cin, ow·cout] — outer products against constant 0/1
+    band matrices, so `jax.grad` w.r.t. the HWIO kernel differentiates to
+    another einsum (dw is matmul-fast). Measured alternatives: a
+    scatter-add build cost ~1 ms/conv on TPU — 3× the matmul kernel
+    itself — and its autodiff emitted gathers; building the three M_dy as
+    9 separate per-dy outer-product launches measured the same ~0.6
+    ms/step (launch-overhead-, not FLOP-, dominated — docs/PERF.md), so
+    the single-op form is kept for the smaller HLO."""
     bands = jnp.stack([jnp.asarray(b) for b in band_mats])  # [3dx, ncols, ow]
     ms = jnp.einsum("xcp,yxio->ycipo", bands, w_hwio)
     ncols, ow = band_mats[0].shape

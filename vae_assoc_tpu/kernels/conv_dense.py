@@ -12,7 +12,7 @@ run the layer as a single MXU matmul:
 
 M[(r·w+c)·cin+ci, (o·ow+p)·cout+co] = w[dy, dx, ci, co] wherever the
 tap geometry matches (constant 0/1 selector ⊗ the HWIO kernel — a
-differentiable einsum, like `conv_banded._build_m` but 2-D). The FLOP
+differentiable einsum, like `conv_banded._build_ms` but 2-D). The FLOP
 count balloons ~40-90× over the convolution's useful FLOPs, but at
 these shapes the dense matmul is still tiny for the MXU (~20 GFLOP at
 batch 2048 ≈ 0.1 ms) while the convolution formulations pay layout

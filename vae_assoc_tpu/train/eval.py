@@ -233,7 +233,14 @@ def eval_metrics(
         )
 
     total_w = sum(w for w, _ in parts)
+    # ONE batched host transfer for every metric scalar of every part —
+    # a per-scalar float() is its own round trip on the high-latency
+    # device link (~20 keys × parts, measured hazard in docs/PERF.md).
+    metrics_host = jax.device_get([m for _, m in parts])
     out = {}
-    for k in parts[0][1]:
-        out[k] = float(sum(w * float(m[k]) for w, m in parts) / total_w)
+    for k in metrics_host[0]:
+        out[k] = float(
+            sum(w * float(m[k]) for (w, _), m in zip(parts, metrics_host))
+            / total_w
+        )
     return out
