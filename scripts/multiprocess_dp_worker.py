@@ -136,6 +136,37 @@ def main(proc: int, nproc: int, port: str) -> int:
         total = float(jax.device_get(metrics["total"]))
         print(f"TFMETRICS {proc} {step} {total:.6f}", flush=True)
 
+    # Phase 4 — cross-process shard_map ZeRO (round 3): a 1-D ('data',)
+    # mesh over ALL devices spanning both processes. The hand-written
+    # weight all-gathers and gradient reduce-scatters (parallel/zero.py)
+    # now ride the cross-process collective backend; state placement goes
+    # through tp._placer's jit-identity path inside shard_zero_train_state.
+    from vae_assoc_tpu.parallel import make_zero_train_step
+    from vae_assoc_tpu.parallel.zero import shard_zero_train_state
+
+    mesh1 = Mesh(np.asarray(jax.devices()), ("data",))
+    z_state = shard_zero_train_state(mesh1, init_train_state(cfg, tc), cfg, tc)
+    # Flat shards really span the global mesh: each process addresses
+    # 4 of the 8 equal slices of every padded leaf.
+    w1 = z_state.params["modalities"][0]["recog"]["h1"]["w"]
+    assert w1.ndim == 1 and w1.shape[0] % n_dev == 0, w1.shape
+    local = {s.data.shape for s in w1.addressable_shards}
+    assert local == {(w1.shape[0] // n_dev,)}, local
+    assert len(w1.addressable_shards) == 4
+    z_step = make_zero_train_step(cfg, tc, mesh1)
+    rng4 = np.random.default_rng(17)  # same stream in every process
+    spec1 = NamedSharding(mesh1, P("data"))
+    for step in range(2):
+        x_img = rng4.uniform(0, 1, (tc.batch_size, 24)).astype(np.float32)
+        x_traj = rng4.normal(size=(tc.batch_size, 24)).astype(np.float32)
+        xs = tuple(
+            jax.make_array_from_process_local_data(spec1, d[lo : lo + rows_here])
+            for d in (x_img, x_traj)
+        )
+        z_state, metrics = z_step(z_state, xs)
+        total = float(jax.device_get(metrics["total"]))
+        print(f"ZMETRICS {proc} {step} {total:.6f}", flush=True)
+
     print(f"DONE {proc}", flush=True)
     return 0
 

@@ -179,26 +179,29 @@ def shard_zero_train_state(
     into the ZeRO layout: every param/moment leaf flattened, zero-padded to
     a multiple of the mesh size, and placed sharded over the data axis;
     step/rng and optimizer scalars replicated."""
+    from vae_assoc_tpu.parallel.tp import _placer
+
     n = _n_shards(mesh)
     opt = _zero_optimizer(tc, mesh_mod.DATA_AXIS)
+    put = _placer(mesh)  # device_put, or jit-identity on multi-controller
     shard = NamedSharding(mesh, P(mesh_mod.DATA_AXIS))
     repl = NamedSharding(mesh, P())
     params = jax.tree.map(
-        lambda p: jax.device_put(_flatten_pad(p, n), shard), state.params
+        lambda p: put(_flatten_pad(p, n), shard), state.params
     )
     # The stored opt state came from make_optimizer(tc) — same tree structure
     # as _zero_optimizer's (the clip stage is stateless in both).
     opt_state = optax.tree_map_params(
         opt,
-        lambda x: jax.device_put(_flatten_pad(x, n), shard),
+        lambda x: put(_flatten_pad(x, n), shard),
         state.opt_state,
-        transform_non_params=lambda x: jax.device_put(x, repl),
+        transform_non_params=lambda x: put(x, repl),
     )
     return TrainState(
-        jax.device_put(state.step, repl),
+        put(state.step, repl),
         params,
         opt_state,
-        jax.device_put(state.rng, repl),
+        put(state.rng, repl),
     )
 
 
