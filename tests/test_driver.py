@@ -101,7 +101,7 @@ def test_driver_cli_end_to_end(tmp_path):
         "--config", "3", "--data", "synthetic", "--n-samples", "256",
         "--batch-size", "32", "--epochs", "3",
         "--metrics", str(metrics), "--ckpt-dir", str(ckpt_dir),
-        "--plots-dir", str(plots),
+        "--plots-dir", str(plots), "--mll-samples", "8",
     ]
     out = subprocess.run(base, env=env, capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr[-3000:]
@@ -112,6 +112,8 @@ def test_driver_cli_end_to_end(tmp_path):
     assert mse_recs, recs
     rec_recs = [r for r in recs if "knn_image->trajectory" in r]
     assert rec_recs and 0.0 <= rec_recs[0]["knn_image->trajectory"] <= 1.0
+    mll_recs = [r for r in recs if "iwae_image" in r]
+    assert mll_recs and mll_recs[0]["iwae_image"] >= mll_recs[0]["elbo_image"]
     assert (plots / "reconstructions.png").exists()
     assert (plots / "image_to_trajectory.png").exists()
     assert (plots / "latent_scatter.png").exists()

@@ -97,6 +97,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    metavar="L",
                    help="with --sweep-seeds E: per-model association "
                         "weights (E values)")
+    p.add_argument("--mll-samples", type=int, default=0, metavar="K",
+                   help="after training, estimate per-modality marginal "
+                        "log-likelihood bounds (K-sample IWAE + ELBO, "
+                        "nats/sample) on the eval split (0 = off)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--ckpt-every", type=int, default=10,
                    help="checkpoint every N epochs")
@@ -576,6 +580,15 @@ def main(argv=None) -> int:
         log.write(**rec)
         print("recognition:",
               " ".join(f"{k}={v:.3f}" for k, v in rec.items()), flush=True)
+    if args.mll_samples > 0:
+        mll = eval_mod.marginal_log_likelihood(
+            state.params, eval_xs, cfg, n_importance=args.mll_samples,
+            seed=tc.seed, compute_dtype=tc.compute_dtype,
+            use_pallas=tc.use_pallas,
+        )
+        log.write(**mll)
+        print("log-likelihood bounds (nats/sample):",
+              " ".join(f"{k}={v:.2f}" for k, v in mll.items()), flush=True)
 
     if args.plots_dir and k >= 1:
         os.makedirs(args.plots_dir, exist_ok=True)

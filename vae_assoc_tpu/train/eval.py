@@ -103,6 +103,149 @@ def _chunked_metrics_fn(cfg: AssocConfig, compute_dtype, use_pallas):
     return jax.jit(run)
 
 
+_LOG_2PI = 1.8378770664093453  # log(2π)
+
+
+@functools.lru_cache(maxsize=64)
+def _mll_fn(cfg: AssocConfig, k, block, compute_dtype, use_pallas):
+    """Jitted IWAE/ELBO estimator: encode ONCE per modality, then scan
+    over `k/block` importance-sample blocks (each block decodes
+    [block·B, D] in one matmul chain — MXU-sized work, bounded memory:
+    only the [k, B] log-weights accumulate across blocks)."""
+    from vae_assoc_tpu.configs import TRANSFER_FNS
+    from vae_assoc_tpu.models import vae as vae_mod
+    from vae_assoc_tpu.ops import losses
+
+    n_blocks = k // block
+
+    def run(params, xs, key, eps_all):
+        out = {}
+        for m_i, mcfg in enumerate(cfg.modalities):
+            p_m = params["modalities"][m_i]
+            x = xs[m_i].astype(jnp.float32)
+            _, encode, decode = vae_mod._net_fns(mcfg, use_pallas)
+            transfer = TRANSFER_FNS[mcfg.transfer]
+            mu, lv = encode(p_m, x, compute_dtype=compute_dtype, transfer=transfer)
+            mu, lv = mu.astype(jnp.float32), lv.astype(jnp.float32)
+            sigma = jnp.exp(0.5 * lv)
+            b, n_z = mu.shape
+            d = x.shape[1]
+            m_key = jax.random.fold_in(key, m_i)
+
+            def body(i, _, mu=mu, sigma=sigma, lv=lv, x=x, p_m=p_m,
+                     decode=decode, transfer=transfer, m_key=m_key,
+                     mcfg=mcfg, b=b, n_z=n_z, d=d, m_i=m_i):
+                if eps_all is None:
+                    eps = jax.random.normal(
+                        jax.random.fold_in(m_key, i), (block, b, n_z), jnp.float32
+                    )
+                else:
+                    eps = jax.lax.dynamic_slice_in_dim(
+                        eps_all[m_i], i * block, block, axis=0
+                    )
+                z = mu[None] + sigma[None] * eps  # [block, B, n_z]
+                recon = decode(
+                    p_m, z.reshape(block * b, n_z),
+                    compute_dtype=compute_dtype, transfer=transfer,
+                )
+                if mcfg.recon == "bernoulli":
+                    nll = losses.bernoulli_recon(
+                        jnp.broadcast_to(x[None], (block, b, d)).reshape(-1, d),
+                        logits=recon,
+                    )
+                else:
+                    # Density convention (documented in
+                    # marginal_log_likelihood): N(x̂, σ²=1/2), so the
+                    # training SSE term IS −log p up to +(D/2)·log(π).
+                    nll = losses.gaussian_recon(
+                        jnp.broadcast_to(x[None], (block, b, d)).reshape(-1, d),
+                        recon,
+                    ) + 0.5 * d * jnp.float32(jnp.log(jnp.pi))
+                nll = nll.reshape(block, b)
+                # log w = log p(x|z) + log p(z) − log q(z|x); the n_z·log2π
+                # halves of p(z) and q cancel.
+                log_p_z = -0.5 * (jnp.sum(z * z, axis=-1) + n_z * _LOG_2PI)
+                log_q = -0.5 * (
+                    jnp.sum(eps * eps, axis=-1)
+                    + jnp.sum(lv, axis=-1)[None]
+                    + n_z * _LOG_2PI
+                )
+                return i + 1, -nll + log_p_z - log_q
+
+            _, lw = jax.lax.scan(body, jnp.int32(0), None, length=n_blocks)
+            lw = lw.reshape(k, b)  # [n_blocks·block, B]
+            name = cfg.modalities[m_i].name
+            out[f"elbo_{name}"] = jnp.mean(lw)
+            out[f"iwae_{name}"] = jnp.mean(
+                jax.scipy.special.logsumexp(lw, axis=0) - jnp.log(jnp.float32(k))
+            )
+        return out
+
+    return jax.jit(run)
+
+
+def marginal_log_likelihood(
+    params,
+    xs,
+    cfg,
+    *,
+    n_importance: int = 64,
+    block: int | None = None,
+    seed: int = 0,
+    compute_dtype=jnp.float32,
+    use_pallas=False,
+    max_samples: int = 2048,
+    eps=None,
+) -> dict:
+    """Per-modality marginal log-likelihood bounds (nats/sample, HIGHER is
+    better): the k-sample IWAE bound (Burda et al. 2016) and the k-draw
+    ELBO from the same weights. The reference never estimated log p(x) —
+    it printed the training cost — but the bound is the standard way to
+    compare VAE fits beyond reconstruction MSE.
+
+    log w = log p(x|z) + log p(z) − log q(z|x) with z = μ + σ·ε. The
+    Bernoulli modality's density is exact (logit CE). The Gaussian
+    modality's training loss is plain SSE, which corresponds to a
+    N(x̂, σ²=1/2) likelihood; the bound adopts that convention (adds the
+    (D/2)·log π normalizer), so its absolute value is only comparable
+    under the same convention — deltas across checkpoints/models are the
+    meaningful quantity. By Jensen, iwae_* ≥ elbo_* holds per draw set
+    (asserted in tests), and ε is deterministic in (seed, modality,
+    block), so repeated calls reproduce bitwise.
+
+    `eps`: optional list (one [n_importance, B, n_z] array per modality)
+    injecting the draws explicitly — the parity-test convention
+    (SURVEY.md §7 "RNG semantics").
+    """
+    import numpy as np
+
+    if n_importance < 1:
+        raise ValueError(f"n_importance must be >= 1, got {n_importance}")
+    if block is None:
+        # Auto: largest divisor of k that is ≤ 8 (8 draws per decode block
+        # keeps the [block·B, D] decode matmul MXU-sized without ballooning
+        # memory; any divisor is numerically identical).
+        block = max(b for b in range(1, min(8, n_importance) + 1)
+                    if n_importance % b == 0)
+    block = min(block, n_importance)
+    if n_importance % block:
+        raise ValueError(
+            f"block={block} must divide n_importance={n_importance}"
+        )
+    n = min(int(xs[0].shape[0]), max_samples)
+    xs = [jnp.asarray(x[:n]) for x in xs]
+    if eps is not None:
+        eps = [jnp.asarray(e, jnp.float32) for e in eps]
+        for e, x, m in zip(eps, xs, cfg.modalities):
+            want = (n_importance, n, m.arch["n_z"])
+            if e.shape != want:
+                raise ValueError(f"eps for {m.name}: {e.shape} != {want}")
+    fn = _mll_fn(cfg, n_importance, block, jnp.dtype(compute_dtype),
+                 bool(use_pallas))
+    out = fn(params, xs, jax.random.key(seed), eps)
+    return {key: float(v) for key, v in out.items()}
+
+
 def _knn_classify(train_z, train_labels, query_z, n_classes, k, mask_diag):
     """k-NN class prediction on the MXU: one [Q, N] squared-distance matrix
     via ‖a‖² + ‖b‖² − 2a·b (a single matmul), `lax.top_k` neighbors, and a
