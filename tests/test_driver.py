@@ -128,6 +128,35 @@ def test_driver_cli_end_to_end(tmp_path):
     assert "resumed from step" in out2.stdout
 
 
+def test_driver_ema_decay_end_to_end(tmp_path):
+    """--ema-decay: training runs, validation + post-train eval use the
+    debiased EMA weights (wiring check), and the incompatible
+    --sweep-lrs combination exits loudly."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    metrics = tmp_path / "metrics.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "2", "--ema-decay", "0.9",
+         "--val-frac", "0.25", "--metrics", str(metrics)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    recs = read_jsonl(str(metrics))
+    assert [r for r in recs if "val_total" in r], recs
+    assert [r for r in recs if "mse_image->trajectory" in r], recs
+
+    from vae_assoc_tpu.train import driver
+
+    with pytest.raises(SystemExit, match="ema-decay"):
+        driver.main(["--config", "3", "--sweep-seeds", "2",
+                     "--sweep-lrs", "1e-3", "1e-4",
+                     "--ema-decay", "0.999", "--epochs", "1"])
+
+
 def test_driver_config5_sharded_layout_flags(tmp_path):
     """Regression (round-2 advisor, medium): config 5 defaults
     use_pallas=True, and `--config 5 --fsdp` / `--model-parallel` used to

@@ -264,12 +264,20 @@ class TrainConfig:
     #     norm — the observability signal clipping exists to monitor.
     #   accum_steps: micro-batches averaged per optimizer update
     #     (optax.MultiSteps); params change only every k-th step.
+    #   ema_decay: exponential moving average of the post-update params
+    #     (0 = off). Stored as a final optimizer-chain stage whose state is
+    #     a params-shaped leaf (zero-init, Adam-style debias on read via
+    #     `train.step.ema_params`), so it checkpoints with the opt_state
+    #     and re-lays out under every GSPMD/ZeRO layout exactly like the
+    #     Adam moments. With accum_steps > 1 the EMA advances once per
+    #     optimizer update (boundary), matching the params it averages.
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     decay_steps: int = 0
     lr_end_factor: float = 0.0
     grad_clip_norm: float = 0.0
     accum_steps: int = 1
+    ema_decay: float = 0.0
 
 
 def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:

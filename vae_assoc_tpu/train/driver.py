@@ -62,6 +62,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--accum-steps", type=int, default=None,
                    help="micro-batches averaged per optimizer update "
                         "(optax.MultiSteps gradient accumulation)")
+    p.add_argument("--ema-decay", type=float, default=None, metavar="D",
+                   help="maintain an exponential moving average of the "
+                        "params (decay D, e.g. 0.999); validation, "
+                        "keep-best selection, and post-train eval/plots "
+                        "then use the (debiased) EMA weights. Stored in "
+                        "the optimizer state, so it checkpoints/resumes "
+                        "and shards under every layout automatically")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU-pass matmul policy (fp32 accumulation)")
@@ -168,6 +175,7 @@ def _run_sweep(args, cfg, tc, data, val_data, log):
     held-out set), else by final-epoch training total.
     """
     from vae_assoc_tpu.train import eval as eval_mod
+    from vae_assoc_tpu.train.step import eval_params
     from vae_assoc_tpu.train.sweep import select_model, sweep_loop
 
     e = args.sweep_seeds
@@ -193,7 +201,7 @@ def _run_sweep(args, cfg, tc, data, val_data, log):
         scores = []
         for i in range(e):
             vm = eval_mod.eval_metrics(
-                select_model(state, i).params, val_data, cfg,
+                eval_params(tc, select_model(state, i)), val_data, cfg,
                 batch_size=tc.batch_size, compute_dtype=tc.compute_dtype,
                 use_pallas=tc.use_pallas, seed=tc.seed,
             )
@@ -244,7 +252,7 @@ def main(argv=None) -> int:
     from vae_assoc_tpu.configs import baseline_config
     from vae_assoc_tpu.train import eval as eval_mod
     from vae_assoc_tpu.train.loop import train_loop, train_loop_fused
-    from vae_assoc_tpu.train.step import init_train_state
+    from vae_assoc_tpu.train.step import eval_params, init_train_state
     from vae_assoc_tpu.utils import checkpoint as ckpt
     from vae_assoc_tpu.utils.logging import MetricsLogger
 
@@ -256,7 +264,7 @@ def main(argv=None) -> int:
     if args.learning_rate is not None:
         overrides["learning_rate"] = args.learning_rate
     for field in ("lr_schedule", "warmup_steps", "decay_steps",
-                  "grad_clip_norm", "accum_steps"):
+                  "grad_clip_norm", "accum_steps", "ema_decay"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v
@@ -338,6 +346,12 @@ def main(argv=None) -> int:
                 "--sweep-lrs requires the constant LR schedule with no "
                 "warmup (per-model rates scale the Adam direction; a "
                 "per-model schedule horizon has no state to live in)"
+            )
+        if args.sweep_lrs is not None and (args.ema_decay or 0) > 0:
+            raise SystemExit(
+                "--sweep-lrs is incompatible with --ema-decay (per-model "
+                "lr scaling happens outside the optimizer chain, so the "
+                "in-chain EMA stage would average the unscaled updates)"
             )
     elif args.sweep_lrs is not None or args.sweep_lambdas is not None:
         raise SystemExit("--sweep-lrs/--sweep-lambdas require --sweep-seeds")
@@ -503,7 +517,8 @@ def main(argv=None) -> int:
             os.path.join(args.ckpt_dir, "best"), init_train_state(cfg, tc)
         )
         best_val = eval_mod.eval_metrics(
-            best_state.params, val_data, cfg, batch_size=tc.batch_size,
+            eval_params(tc, best_state), val_data, cfg,
+            batch_size=tc.batch_size,
             compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
             seed=tc.seed,
         )["total"]
@@ -517,8 +532,11 @@ def main(argv=None) -> int:
 
     def run_validation(state, epoch: int):
         nonlocal best_val, stale
+        # With --ema-decay the validated (and keep-best-selected) weights
+        # are the debiased EMA params; the checkpoint still saves the full
+        # TrainState, whose opt_state carries the EMA accumulator.
         vm = eval_mod.eval_metrics(
-            state.params, val_data, cfg, batch_size=tc.batch_size,
+            eval_params(tc, state), val_data, cfg, batch_size=tc.batch_size,
             compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
             seed=tc.seed,
         )
@@ -562,11 +580,13 @@ def main(argv=None) -> int:
 
     # Post-train: cross-modal MSE eval (the quality gate) + plots — on the
     # held-out set when --val-frac is given, else the head of the data.
+    # With --ema-decay these all use the debiased EMA weights.
+    final_params = eval_params(tc, state)
     eval_src = val_data if val_data is not None else data
     n_eval = min(512, int(eval_src[0].shape[0]))
     eval_xs = [d[:n_eval] for d in eval_src]
     mse = eval_mod.evaluate(
-        state.params, eval_xs, cfg,
+        final_params, eval_xs, cfg,
         compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
     )
     log.write(**{f"mse_{k}": v for k, v in mse.items()})
@@ -574,7 +594,7 @@ def main(argv=None) -> int:
         # Latent-space recognition (the paper's second metric): LOO k-NN
         # accuracy per modality + cross-modal transfer grids.
         rec = eval_mod.recognition_accuracy(
-            state.params, eval_xs, np.asarray(eval_labels)[:n_eval], cfg,
+            final_params, eval_xs, np.asarray(eval_labels)[:n_eval], cfg,
             compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
         )
         log.write(**rec)
@@ -582,7 +602,7 @@ def main(argv=None) -> int:
               " ".join(f"{k}={v:.3f}" for k, v in rec.items()), flush=True)
     if args.mll_samples > 0:
         mll = eval_mod.marginal_log_likelihood(
-            state.params, eval_xs, cfg, n_importance=args.mll_samples,
+            final_params, eval_xs, cfg, n_importance=args.mll_samples,
             seed=tc.seed, compute_dtype=tc.compute_dtype,
             use_pallas=tc.use_pallas,
         )
@@ -603,7 +623,7 @@ def main(argv=None) -> int:
         if has_image_0:
             recon = np.asarray(
                 assoc_mod.cross_generate(
-                    state.params, eval_xs[0][:8], cfg, src=0, dst=0,
+                    final_params, eval_xs[0][:8], cfg, src=0, dst=0,
                     compute_dtype=tc.compute_dtype,
                 )
             )
@@ -611,7 +631,7 @@ def main(argv=None) -> int:
                 os.path.join(args.plots_dir, "reconstructions.png"), dpi=120
             )
         zs = assoc_mod.transform(
-            state.params, eval_xs, cfg, compute_dtype=tc.compute_dtype
+            final_params, eval_xs, cfg, compute_dtype=tc.compute_dtype
         )
         labels = None
         if eval_labels is not None:
@@ -622,7 +642,7 @@ def main(argv=None) -> int:
         if k >= 2 and has_image_0:
             gen_traj = np.asarray(
                 assoc_mod.cross_generate(
-                    state.params, eval_xs[0][:8], cfg, src=0, dst=1,
+                    final_params, eval_xs[0][:8], cfg, src=0, dst=1,
                     compute_dtype=tc.compute_dtype,
                 )
             )

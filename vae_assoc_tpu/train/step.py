@@ -13,7 +13,7 @@ tiny MLP model TPU-efficient (SURVEY.md §7 "Tiny-model TPU efficiency").
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -61,6 +61,81 @@ def lr_schedule_fn(tc: TrainConfig):
     return main
 
 
+class EmaState(NamedTuple):
+    """State of the `_ema_of_params` chain stage.
+
+    count: [] int32 — optimizer updates folded into the average so far.
+    ema: params-shaped accumulator. Zero-initialized (like Adam's moments,
+      so `optax.tree_map_params` placeholder discovery marks it as a
+      params leaf and every GSPMD/ZeRO re-layout shards it like the param
+      it tracks) and debiased on read by :func:`ema_params`.
+    """
+
+    count: jax.Array
+    ema: Any
+
+
+def _ema_of_params(decay: float) -> optax.GradientTransformation:
+    """Final optimizer-chain stage tracking an EMA of the *post-update*
+    params: ema ← decay·ema + (1−decay)·(params + updates). Placed after
+    Adam (updates there are the final increments) and inside MultiSteps
+    (so with gradient accumulation it advances once per real optimizer
+    update, seeing exactly the params that will be applied)."""
+
+    def init(params):
+        return EmaState(jnp.int32(0), jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("the EMA stage needs params (optax passes "
+                             "them through chain/MultiSteps automatically)")
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p, state.ema, new_p
+        )
+        return updates, EmaState(state.count + 1, ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def ema_params(tc: TrainConfig, opt_state):
+    """Debiased EMA parameter tree from the optimizer state, or None when
+    ``tc.ema_decay == 0``. Before the first optimizer update (count == 0)
+    the EMA is the zero tree — callers evaluate after training, where this
+    never arises, and :func:`eval_params` falls back to the live params."""
+    if tc.ema_decay <= 0:
+        return None
+    leaves = jax.tree.leaves(
+        opt_state, is_leaf=lambda s: isinstance(s, EmaState)
+    )
+    states = [s for s in leaves if isinstance(s, EmaState)]
+    if len(states) != 1:
+        raise ValueError(
+            f"expected exactly one EmaState in the optimizer state, found "
+            f"{len(states)} — was this opt_state built with ema_decay > 0?"
+        )
+    es = states[0]
+    corr = 1.0 - jnp.float32(tc.ema_decay) ** es.count.astype(jnp.float32)
+    corr = jnp.where(es.count > 0, corr, jnp.float32(1.0))
+    return jax.tree.map(lambda e: e / corr, es.ema)
+
+
+def eval_params(tc: TrainConfig, state: "TrainState"):
+    """The parameter tree evaluation should use: the debiased EMA params
+    when ``ema_decay > 0`` and at least one optimizer update has run, else
+    the live training params."""
+    if tc.ema_decay <= 0:
+        return state.params
+    ema = ema_params(tc, state.opt_state)
+    leaves = jax.tree.leaves(
+        state.opt_state, is_leaf=lambda s: isinstance(s, EmaState)
+    )
+    count = next(s for s in leaves if isinstance(s, EmaState)).count
+    if int(jax.device_get(count)) == 0:
+        return state.params
+    return ema
+
+
 def make_optimizer(
     tc: TrainConfig, *, clip_transform=None
 ) -> optax.GradientTransformation:
@@ -87,6 +162,13 @@ def make_optimizer(
         opt = optax.chain(clip, adam)
     else:
         opt = adam
+    if tc.ema_decay > 0:
+        if not 0.0 < tc.ema_decay < 1.0:
+            raise ValueError(f"ema_decay must be in (0, 1), got {tc.ema_decay}")
+        # Last in the chain: Adam's output is the final increment, so the
+        # EMA sees exactly the params apply_updates will produce. Inside
+        # MultiSteps: advances once per real optimizer update.
+        opt = optax.chain(opt, _ema_of_params(tc.ema_decay))
     if tc.accum_steps > 1:
         # MultiSteps averages k micro-batch grads then applies ONE Adam
         # update; params (and the inner schedule count) hold still on

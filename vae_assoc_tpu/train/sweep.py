@@ -64,6 +64,12 @@ def _sweep_tc(tc: TrainConfig, vary_lr: bool) -> TrainConfig:
             f"with no warmup; got lr_schedule={tc.lr_schedule!r}, "
             f"warmup_steps={tc.warmup_steps}"
         )
+    if vary_lr and tc.ema_decay > 0:
+        raise ValueError(
+            "per-model learning rates are incompatible with ema_decay: "
+            "lr scaling happens outside the optimizer chain, so the "
+            "in-chain EMA stage would average the UNSCALED updates"
+        )
     changes = {}
     if vary_lr:
         changes["learning_rate"] = 1.0  # direction only; scaled per model
