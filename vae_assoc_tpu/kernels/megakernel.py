@@ -46,6 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from vae_assoc_tpu.kernels.mlp import (
     _encode_fused_bwd,
     _full_specs,
+    _fwd_compiler_params,
     _lane,
     _pow2_tile,
     _pvary_like,
@@ -254,6 +255,7 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
             _sds((b, 1), jnp.float32, x),
             _sds((b, 1), jnp.float32, x),
         ),
+        compiler_params=_fwd_compiler_params(),
         interpret=_interpret(),
     )(x, *flat, eps_or_seed)
     out = {"mu": mu, "lv": lv, "recon_term": rec[:, 0], "kl_term": kl[:, 0]}

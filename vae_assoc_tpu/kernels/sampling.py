@@ -25,7 +25,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vae_assoc_tpu.kernels.mlp import _interpret, _pvary_like, _sds
+from vae_assoc_tpu.kernels.mlp import (
+    _fwd_compiler_params,
+    _interpret,
+    _pvary_like,
+    _sds,
+)
 
 _TWO_PI = 6.283185307179586
 # Knuth multiplicative hash for per-tile seed decorrelation (identical
@@ -84,6 +89,9 @@ def _sample_impl(z_mean, z_logvar, seed):
             _sds(z_mean.shape, jnp.float32, z_mean),
             _sds(z_mean.shape, jnp.float32, z_mean),
         ),
+        # Grid steps are independent (per-tile rows; the PRNG stream is a
+        # pure function of seed + program_id, so ordering is irrelevant).
+        compiler_params=_fwd_compiler_params(),
         interpret=_interpret(),
     )(z_mean.astype(jnp.float32), z_logvar.astype(jnp.float32), seed)
 
