@@ -271,6 +271,21 @@ class TrainConfig:
     #     and re-lays out under every GSPMD/ZeRO layout exactly like the
     #     Adam moments. With accum_steps > 1 the EMA advances once per
     #     optimizer update (boundary), matching the params it averages.
+    #   kl_beta / kl_anneal_steps / assoc_warmup_steps: objective
+    #     reweighting (β-VAE and warm-up annealing — Higgins et al. 2017,
+    #     Bowman et al. 2016). The effective objective is
+    #       Σ_k (recon_k + β(u)·kl_k) + s(u)·λ·assoc
+    #     with β(u) = kl_beta·min(1, u/kl_anneal_steps) and
+    #     s(u) = min(1, u/assoc_warmup_steps) (each ramp identity when its
+    #     step count is 0), where u counts OPTIMIZER updates (like the LR
+    #     schedules: u = step // accum_steps). Defaults (1.0 / 0 / 0) keep
+    #     the static objective byte-identical (the bitwise-parity surface,
+    #     docs/PARITY.md). Gradients are exact on every kernel path: the
+    #     reweighted total is rebuilt linearly from the logged loss terms
+    #     (train.step.apply_objective_weights), the same mechanism the
+    #     per-model λ sweep uses. Logged per-term metrics stay UNWEIGHTED;
+    #     `total` is the weighted objective actually optimized, and the
+    #     effective β/λ-scale are logged as kl_beta_eff / assoc_scale_eff.
     lr_schedule: str = "constant"
     warmup_steps: int = 0
     decay_steps: int = 0
@@ -278,6 +293,9 @@ class TrainConfig:
     grad_clip_norm: float = 0.0
     accum_steps: int = 1
     ema_decay: float = 0.0
+    kl_beta: float = 1.0
+    kl_anneal_steps: int = 0
+    assoc_warmup_steps: int = 0
 
 
 def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:

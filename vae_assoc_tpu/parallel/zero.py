@@ -65,6 +65,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from vae_assoc_tpu.configs import AssocConfig, TrainConfig
 from vae_assoc_tpu.models import assoc as assoc_mod
 from vae_assoc_tpu.parallel import mesh as mesh_mod
+from vae_assoc_tpu.train import step as step_mod
 from vae_assoc_tpu.train.step import TrainState, init_train_state, make_optimizer
 
 
@@ -261,6 +262,11 @@ def _zero_one_step(state: TrainState, xs, cfg, tc, opt, axis, n, tmpl):
             compute_dtype=tc.compute_dtype,
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
+        )
+        # β-VAE / annealing knobs, same shared helper as _one_step (no-op
+        # at the defaults).
+        total, metrics = step_mod.apply_objective_weights(
+            total, metrics, cfg, tc, state.step
         )
         # pmean before grad (see train.step._one_step): each shard's grads
         # arrive as (1/D)·∂total_shard/∂params; the reduce-scatter below

@@ -69,6 +69,16 @@ def build_argparser() -> argparse.ArgumentParser:
                         "then use the (debiased) EMA weights. Stored in "
                         "the optimizer state, so it checkpoints/resumes "
                         "and shards under every layout automatically")
+    p.add_argument("--kl-beta", type=float, default=None, metavar="B",
+                   help="β-VAE weight on the KL terms (default 1.0 = the "
+                        "reference objective)")
+    p.add_argument("--kl-anneal-steps", type=int, default=None, metavar="N",
+                   help="linear 0->kl_beta KL warm-up over N optimizer "
+                        "updates (Bowman-style annealing)")
+    p.add_argument("--assoc-warmup-steps", type=int, default=None,
+                   metavar="N",
+                   help="linear 0->assoc_lambda ramp of the association "
+                        "term over N optimizer updates")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU-pass matmul policy (fp32 accumulation)")
@@ -264,7 +274,8 @@ def main(argv=None) -> int:
     if args.learning_rate is not None:
         overrides["learning_rate"] = args.learning_rate
     for field in ("lr_schedule", "warmup_steps", "decay_steps",
-                  "grad_clip_norm", "accum_steps", "ema_decay"):
+                  "grad_clip_norm", "accum_steps", "ema_decay",
+                  "kl_beta", "kl_anneal_steps", "assoc_warmup_steps"):
         v = getattr(args, field)
         if v is not None:
             overrides[field] = v

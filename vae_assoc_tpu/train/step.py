@@ -186,16 +186,79 @@ def init_train_state(cfg: AssocConfig, tc: TrainConfig, key=None) -> TrainState:
     return TrainState(jnp.int32(0), params, opt_state, k_train)
 
 
-def _total_with_lambda(metrics: dict, cfg: AssocConfig, lam) -> jax.Array:
-    """Rebuild the joint objective from its logged terms with a RUNTIME
-    association weight: Σ_k (recon_k + kl_k) + lam · assoc. Used by the
-    vmapped sweep path (train/sweep.py) so per-model λ values live in an
-    array instead of forcing one compiled program per λ; the static-λ path
-    in assoc_loss_fn stays byte-identical (parity surface, docs/PARITY.md)."""
+def _total_with_lambda(metrics: dict, cfg: AssocConfig, lam, kl_w=None) -> jax.Array:
+    """Rebuild the joint objective from its logged terms with RUNTIME
+    weights: Σ_k (recon_k + kl_w·kl_k) + lam · assoc. Exact gradients on
+    every kernel path — the logged terms are differentiable kernel outputs
+    and the total is linear in them. Used by the vmapped sweep path
+    (train/sweep.py, per-model λ in an array instead of one program per λ)
+    and by the β-VAE/annealing knobs (apply_objective_weights); the
+    static path in assoc_loss_fn stays byte-identical (parity surface,
+    docs/PARITY.md)."""
     total = jnp.float32(0.0)
     for m in cfg.modalities:
-        total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
+        kl = metrics[f"kl_{m.name}"]
+        if kl_w is not None:
+            kl = kl_w * kl
+        total = total + metrics[f"recon_{m.name}"] + kl
     return total + jnp.float32(lam) * metrics["assoc"]
+
+
+def objective_weights(tc: TrainConfig, step):
+    """Runtime (kl_weight, assoc_scale) of the annealed objective at
+    micro-step `step` (a traced int32 scalar), or None when every knob is
+    at its default — the static objective then skips the rebuild entirely,
+    keeping the bitwise-parity path byte-identical.
+
+    Ramps count OPTIMIZER updates u = step // accum_steps, the same clock
+    the LR schedules use, so annealing horizons don't change meaning when
+    gradient accumulation is turned on. β(u) = kl_beta·min(1, u/N_kl);
+    assoc scale s(u) = min(1, u/N_assoc); a ramp with N == 0 is identity.
+    """
+    if (
+        tc.kl_beta == 1.0
+        and tc.kl_anneal_steps == 0
+        and tc.assoc_warmup_steps == 0
+    ):
+        return None
+    if tc.kl_beta < 0:
+        raise ValueError(f"kl_beta must be >= 0, got {tc.kl_beta}")
+    u = (step // tc.accum_steps).astype(jnp.float32)
+    kl_w = jnp.float32(tc.kl_beta)
+    if tc.kl_anneal_steps > 0:
+        kl_w = kl_w * jnp.minimum(1.0, u / tc.kl_anneal_steps)
+    assoc_scale = jnp.float32(1.0)
+    if tc.assoc_warmup_steps > 0:
+        assoc_scale = jnp.minimum(1.0, u / tc.assoc_warmup_steps)
+    return kl_w, assoc_scale
+
+
+def apply_objective_weights(
+    total, metrics, cfg: AssocConfig, tc: TrainConfig, step, assoc_lambda=None
+):
+    """Post-process (total, metrics) from assoc_loss_fn with the runtime
+    objective weights: per-model λ (sweep path) and/or the β-VAE/annealing
+    knobs (configs.TrainConfig). No-op — returns the inputs untouched —
+    when neither is active. Shared by `_one_step` and the ZeRO step body
+    so the semantics cannot drift between layouts."""
+    w = objective_weights(tc, step)
+    if assoc_lambda is None and w is None:
+        return total, metrics
+    lam = assoc_lambda if assoc_lambda is not None else cfg.assoc_lambda
+    if w is not None:
+        kl_w, assoc_scale = w
+        lam = assoc_scale * jnp.float32(lam)
+        total = _total_with_lambda(metrics, cfg, lam, kl_w)
+        metrics = {
+            **metrics,
+            "total": total,
+            "kl_beta_eff": kl_w,
+            "assoc_scale_eff": assoc_scale,
+        }
+    else:
+        total = _total_with_lambda(metrics, cfg, lam)
+        metrics = {**metrics, "total": total}
+    return total, metrics
 
 
 def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axis_name=None, *, assoc_lambda=None, lr_scale=None):
@@ -217,11 +280,12 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
         )
-        if assoc_lambda is not None:
-            # Per-model λ (sweep path): recompute the objective from its
-            # terms. The gradient is exact — total is linear in the terms.
-            total = _total_with_lambda(metrics, cfg, assoc_lambda)
-            metrics = {**metrics, "total": total}
+        # Per-model λ (sweep path) and/or β-VAE/annealing knobs: recompute
+        # the objective from its terms. The gradient is exact — total is
+        # linear in the terms. No-op when neither is active.
+        total, metrics = apply_objective_weights(
+            total, metrics, cfg, tc, state.step, assoc_lambda
+        )
         if axis_name is not None:
             # DP gradient sync: pmean the scalar loss across the mesh BEFORE
             # grad. Under shard_map's vma type system the backward pass then
