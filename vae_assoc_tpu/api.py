@@ -48,6 +48,7 @@ class AssocVariationalAutoEncoder:
         learning_rate: float = 1e-3,
         batch_size: int = 64,
         seed: int = 0,
+        n_cond: int = 0,
         train_config: Optional[TrainConfig] = None,
         model_config: Optional[AssocConfig] = None,
     ):
@@ -61,7 +62,9 @@ class AssocVariationalAutoEncoder:
                 names = [f"modality_{i}" for i in range(k)]
             self.config = AssocConfig(
                 [
-                    ModalityConfig(nm, arch, recon=rt, transfer=transfer_fct)
+                    ModalityConfig(
+                        nm, arch, recon=rt, transfer=transfer_fct, n_cond=n_cond
+                    )
                     for nm, arch, rt in zip(names, network_architectures, recon_types)
                 ],
                 assoc_lambda=assoc_lambda,
@@ -107,6 +110,10 @@ class AssocVariationalAutoEncoder:
     def partial_fit(self, xs: Sequence[np.ndarray]) -> float:
         """One optimizer step on a list of per-modality minibatches.
 
+        Conditional models (``n_cond > 0``): append the condition as one
+        extra trailing entry — ``[X_0, ..., X_{K-1}, cond]`` where cond is
+        int labels [B] or one-hot [B, n_cond].
+
         Returns the joint cost (the reference returns `cost` from
         `sess.run`). NOTE: this per-call host sync exists for API parity;
         throughput-critical code should use `train_loop`/`make_train_step`.
@@ -117,17 +124,26 @@ class AssocVariationalAutoEncoder:
 
     # -- inference ---------------------------------------------------------
     def transform(self, xs: Sequence[np.ndarray]):
-        """Per-modality latent means [μ_0..μ_{K-1}]."""
+        """Per-modality latent means [μ_0..μ_{K-1}]. Conditional models:
+        append the condition as the trailing entry."""
         return self._transform(self.state.params, [jnp.asarray(x) for x in xs])
 
-    def generate(self, z=None, modality: Union[int, str] = 0):
+    def generate(self, z=None, modality: Union[int, str] = 0, *, cond=None):
         """Decode z (or a FRESH standard-normal draw) with one modality's
         decoder — the prior-sample key advances per call, as the reference's
-        stateful `random_normal` did."""
+        stateful `random_normal` did. Conditional models REQUIRE `cond`
+        (labels [B] or one-hot [B, n_cond]) — that is the point: sample
+        p(x|c) for a chosen class with no exemplar input."""
         if z is None:
             self._gen_key, sub = jax.random.split(self._gen_key)
-            z = jax.random.normal(sub, (1, self.config.n_z), jnp.float32)
-        return self._generate(self.state.params, jnp.asarray(z), modality=modality)
+            b = 1 if cond is None else np.asarray(cond).shape[0]
+            z = jax.random.normal(sub, (b, self.config.n_z), jnp.float32)
+        if cond is None:
+            return self._generate(self.state.params, jnp.asarray(z), modality=modality)
+        return self._generate(
+            self.state.params, jnp.asarray(z), modality=modality,
+            cond=jnp.asarray(cond),
+        )
 
     def reconstruct(self, xs: Sequence[np.ndarray], *, sample: bool = False):
         """Per-modality reconstructions.
@@ -135,12 +151,22 @@ class AssocVariationalAutoEncoder:
         sample=False (default): deterministic mean path (encode → μ →
         decode). sample=True: through a reparameterized draw z = μ + σ·ε
         with a fresh key — the reference's `reconstruct` semantics (its
-        graph always sampled).
+        graph always sampled). Conditional models: trailing cond entry.
         """
+        from vae_assoc_tpu.models import assoc as _assoc
+
+        xs_split, cond = _assoc.split_cond(list(xs), self.config)
         if not sample:
-            zs = self.transform(xs)
+            # Explicit parent call: the single-modality subclass overrides
+            # transform() with an unpacked (X, cond) signature, so a
+            # polymorphic self.transform(list) would mis-dispatch.
+            zs = AssocVariationalAutoEncoder.transform(self, xs)
             return tuple(
                 self._generate(self.state.params, z, modality=i)
+                if cond is None
+                else self._generate(
+                    self.state.params, z, modality=i, cond=jnp.asarray(cond)
+                )
                 for i, z in enumerate(zs)
             )
         from vae_assoc_tpu.models import vae as vae_mod
@@ -152,15 +178,23 @@ class AssocVariationalAutoEncoder:
             vae_mod.reconstruct(
                 p, jnp.asarray(x), m, key=k,
                 compute_dtype=self.train_config.compute_dtype,
+                cond=cond,
             )
             for p, x, m, k in zip(
-                self.state.params["modalities"], xs, self.config.modalities, keys
+                self.state.params["modalities"], xs_split,
+                self.config.modalities, keys,
             )
         )
 
-    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
-        """Encode with modality `src`, decode with modality `dst`."""
-        return self._cross(self.state.params, jnp.asarray(x), src=src, dst=dst)
+    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str], *, cond=None):
+        """Encode with modality `src`, decode with modality `dst`.
+        Conditional models: pass `cond` (labels [B] or one-hot)."""
+        if cond is None:
+            return self._cross(self.state.params, jnp.asarray(x), src=src, dst=dst)
+        return self._cross(
+            self.state.params, jnp.asarray(x), src=src, dst=dst,
+            cond=jnp.asarray(cond),
+        )
 
     # -- persistence (reference: tf.train.Saver) ----------------------------
     def save_model(self, path: str, step: Optional[int] = None) -> str:
@@ -278,6 +312,7 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
         learning_rate: float = 1e-3,
         batch_size: int = 64,
         seed: int = 0,
+        n_cond: int = 0,
         train_config: Optional[TrainConfig] = None,
         model_config: Optional[AssocConfig] = None,
     ):
@@ -307,14 +342,18 @@ class VariationalAutoencoder(AssocVariationalAutoEncoder):
             learning_rate=learning_rate,
             batch_size=batch_size,
             seed=seed,
+            n_cond=n_cond,
             train_config=train_config,
         )
 
-    def partial_fit(self, X) -> float:
-        return super().partial_fit([X])
+    def partial_fit(self, X, cond=None) -> float:
+        xs = [X] if cond is None else [X, cond]
+        return super().partial_fit(xs)
 
-    def transform(self, X):
-        return super().transform([X])[0]
+    def transform(self, X, cond=None):
+        xs = [X] if cond is None else [X, cond]
+        return super().transform(xs)[0]
 
-    def reconstruct(self, X, *, sample: bool = False):
-        return super().reconstruct([X], sample=sample)[0]
+    def reconstruct(self, X, *, sample: bool = False, cond=None):
+        xs = [X] if cond is None else [X, cond]
+        return super().reconstruct(xs, sample=sample)[0]

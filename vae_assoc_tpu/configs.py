@@ -138,6 +138,15 @@ class ModalityConfig:
         im2col conv kernels in kernels/conv.py — parity-tested, but XLA's
         native conv lowering is faster at these small shapes, so "conv"
         is the default fast path).
+      n_cond: conditional-VAE one-hot width (Sohn et al. 2015; 0 = the
+        unconditional reference model). When > 0 the recognition net sees
+        ``concat(x, c)`` and the generator sees ``concat(z, c)`` where c is
+        a [B, n_cond] one-hot (or soft) condition vector — label-directed
+        generation ("write character 'a'") without an exemplar input.
+        MLP towers only: the conditioning is applied at the call boundary
+        (inputs pre-concatenated), so the fused Pallas MLP kernels work
+        unchanged; the conv towers have no natural concat point and
+        reject it.
     """
 
     name: str
@@ -145,6 +154,7 @@ class ModalityConfig:
     recon: str = "bernoulli"
     encoder: str = "mlp"
     transfer: str = "softplus"
+    n_cond: int = 0
 
     def __post_init__(self):
         object.__setattr__(self, "arch", validate_arch(self.arch))
@@ -154,6 +164,13 @@ class ModalityConfig:
             raise ValueError(f"unknown encoder type: {self.encoder!r}")
         if self.encoder.startswith("conv") and self.arch["n_input"] != 784:
             raise ValueError("conv encoder requires 28x28 (n_input=784) input")
+        if self.n_cond < 0:
+            raise ValueError(f"n_cond must be >= 0, got {self.n_cond}")
+        if self.n_cond > 0 and self.encoder != "mlp":
+            raise ValueError(
+                "conditioning (n_cond > 0) supports MLP towers only; "
+                f"got encoder={self.encoder!r}"
+            )
         if self.transfer not in TRANSFER_FNS:
             raise ValueError(
                 f"unknown transfer_fct {self.transfer!r}; "
@@ -183,10 +200,20 @@ class AssocConfig:
         names = [m.name for m in self.modalities]
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate modality names: {names}")
+        n_conds = {m.n_cond for m in self.modalities}
+        if len(n_conds) != 1:
+            raise ValueError(
+                f"all modalities must share n_cond; got {n_conds}"
+            )
 
     @property
     def n_z(self) -> int:
         return self.modalities[0].arch["n_z"]
+
+    @property
+    def n_cond(self) -> int:
+        """Conditional-VAE one-hot width (0 = unconditional)."""
+        return self.modalities[0].n_cond
 
     def modality_index(self, name_or_idx) -> int:
         if isinstance(name_or_idx, (int, np.integer)):
@@ -310,6 +337,7 @@ def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:
                 "recon": m.recon,
                 "encoder": m.encoder,
                 "transfer": m.transfer,
+                "n_cond": m.n_cond,
             }
             for m in cfg.modalities
         ],
@@ -329,6 +357,7 @@ def config_from_dict(d: Mapping) -> tuple:
                 m["name"], m["arch"], recon=m["recon"],
                 encoder=m.get("encoder", "mlp"),
                 transfer=m.get("transfer", "softplus"),
+                n_cond=m.get("n_cond", 0),
             )
             for m in d["modalities"]
         ],

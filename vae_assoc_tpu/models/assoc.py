@@ -35,6 +35,38 @@ def init_assoc(key: jax.Array, cfg: AssocConfig, dtype=jnp.float32) -> dict:
     }
 
 
+def split_cond(xs: Sequence, cfg: AssocConfig, cond=None):
+    """Separate the condition input from a batch list.
+
+    Conditional models (cfg.n_cond > 0) carry the shared condition vector
+    as ONE extra trailing entry in the per-modality batch list —
+    ``[x_0, ..., x_{K-1}, cond]`` — so every batch-agnostic path (scan
+    stacking, `shard_batch`, DP/ZeRO shard_map, the vmapped sweep, chunked
+    evaluation) transports it without modification. Returns
+    ``(xs[:K], cond)``; the explicit ``cond`` kwarg takes precedence when
+    the list has exactly K entries."""
+    k = len(cfg.modalities)
+    if cfg.n_cond > 0:
+        if len(xs) == k + 1:
+            if cond is not None:
+                raise ValueError(
+                    "condition passed both as xs[-1] and as the cond kwarg"
+                )
+            return list(xs[:k]), xs[k]
+        if len(xs) == k and cond is not None:
+            return list(xs), cond
+        raise ValueError(
+            f"conditional model (n_cond={cfg.n_cond}): pass the condition "
+            f"as a trailing batch entry ([x_0..x_{k-1}, cond]) or the "
+            f"cond kwarg; got {len(xs)} entries and cond={cond is not None}"
+        )
+    if len(xs) != k:
+        raise ValueError(f"expected {k} modality inputs, got {len(xs)}")
+    if cond is not None:
+        raise ValueError("model is unconditional (n_cond=0) but cond given")
+    return list(xs), None
+
+
 def assoc_forward(
     params: dict,
     xs: Sequence[jax.Array],
@@ -44,11 +76,11 @@ def assoc_forward(
     eps: Optional[Sequence[jax.Array]] = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    cond=None,
 ):
     """Run all K modality VAEs. ε per modality via split `key` or explicit list."""
+    xs, cond = split_cond(xs, cfg, cond)
     k = len(cfg.modalities)
-    if len(xs) != k:
-        raise ValueError(f"expected {k} modality inputs, got {len(xs)}")
     keys = [None] * k
     if eps is None:
         if key is None:
@@ -64,6 +96,7 @@ def assoc_forward(
             eps=e,
             compute_dtype=compute_dtype,
             use_pallas=use_pallas,
+            cond=cond,
         )
         for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps)
     )
@@ -79,19 +112,26 @@ def assoc_loss_fn(
     compute_dtype=jnp.float32,
     parity_mode: bool = False,
     use_pallas: bool = False,
+    cond=None,
 ):
     """Joint objective → (total_loss, metrics dict).
 
     Metrics are first-class jitted outputs (the parity surface, SURVEY.md §5
     "Metrics"): total, per-modality recon/kl, and the association term.
+
+    Conditional models: the condition rides as a trailing ``xs`` entry or
+    the ``cond`` kwarg (see `split_cond`).
     """
+    xs, cond = split_cond(xs, cfg, cond)
     if use_pallas == "mega" and not parity_mode:
-        # The tower megakernel implements the MLP/softplus tower only.
-        # Mirror vae._net_fns' fallback semantics: a conv modality or a
-        # non-softplus transfer routes the whole loss through the
-        # composable-kernel path, which itself falls back per modality.
+        # The tower megakernel implements the MLP/softplus tower only
+        # (and its decoder consumes the latent inside the kernel, so the
+        # conditional concat has no insertion point). Mirror vae._net_fns'
+        # fallback semantics: a conv modality, a non-softplus transfer, or
+        # conditioning routes the whole loss through the composable-kernel
+        # path, which itself falls back per modality.
         if all(
-            m.encoder == "mlp" and m.transfer == "softplus"
+            m.encoder == "mlp" and m.transfer == "softplus" and m.n_cond == 0
             for m in cfg.modalities
         ):
             return _assoc_loss_mega(
@@ -106,6 +146,7 @@ def assoc_loss_fn(
         eps=eps,
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
+        cond=cond,
     )
     metrics = {}
     total = jnp.float32(0.0)
@@ -182,15 +223,20 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype):
     return total, metrics
 
 
-def transform(params, xs, cfg, *, compute_dtype=jnp.float32, use_pallas=False):
+def transform(params, xs, cfg, *, compute_dtype=jnp.float32, use_pallas=False, cond=None):
     """Per-modality latent means: [x_0..x_{K-1}] → [μ_0..μ_{K-1}]."""
+    xs, cond = split_cond(xs, cfg, cond)
     return tuple(
-        vae_mod.transform(p, x, m, compute_dtype=compute_dtype, use_pallas=use_pallas)
+        vae_mod.transform(
+            p, x, m, compute_dtype=compute_dtype, use_pallas=use_pallas, cond=cond
+        )
         for p, x, m in zip(params["modalities"], xs, cfg.modalities)
     )
 
 
-def generate(params, z, cfg, modality, *, compute_dtype=jnp.float32, use_pallas=False):
+def generate(
+    params, z, cfg, modality, *, compute_dtype=jnp.float32, use_pallas=False, cond=None
+):
     """Decode latent z with one modality's generator net."""
     i = cfg.modality_index(modality)
     return vae_mod.generate(
@@ -199,16 +245,18 @@ def generate(params, z, cfg, modality, *, compute_dtype=jnp.float32, use_pallas=
         cfg.modalities[i],
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
+        cond=cond,
     )
 
 
 def cross_generate(
-    params, x, cfg, src, dst, *, compute_dtype=jnp.float32, use_pallas=False
+    params, x, cfg, src, dst, *, compute_dtype=jnp.float32, use_pallas=False, cond=None
 ):
     """Encode with modality `src`, decode with modality `dst` — one fused path.
 
     image→trajectory: the robot *writes* a character it has only *seen*;
     trajectory→image: render what a motion looks like (SURVEY.md §0, §3.3).
+    Conditional models thread the same condition vector through both nets.
     """
     i = cfg.modality_index(src)
     z = vae_mod.transform(
@@ -217,7 +265,9 @@ def cross_generate(
         cfg.modalities[i],
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
+        cond=cond,
     )
     return generate(
-        params, z, cfg, dst, compute_dtype=compute_dtype, use_pallas=use_pallas
+        params, z, cfg, dst,
+        compute_dtype=compute_dtype, use_pallas=use_pallas, cond=cond,
     )

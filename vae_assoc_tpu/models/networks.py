@@ -37,12 +37,21 @@ def _init_linear(key, n_in, n_out, dtype=jnp.float32):
     }
 
 
-def init_mlp_vae_params(key: jax.Array, arch: dict, dtype=jnp.float32) -> dict:
+def init_mlp_vae_params(
+    key: jax.Array, arch: dict, dtype=jnp.float32, n_cond: int = 0
+) -> dict:
     """Initialize one modality's recognition + generator stacks.
 
     Returns
       {"recog": {h1, h2, out_mean, out_logvar}, "gener": {h1, h2, out}}
     with each leaf a {"w": [in,out], "b": [out]} linear layer.
+
+    ``n_cond > 0`` (conditional VAE, configs.ModalityConfig.n_cond) widens
+    the first recognition layer to ``n_input + n_cond`` and the first
+    generator layer to ``n_z + n_cond`` — the condition vector is
+    concatenated at the call boundary (models/vae.py), so every apply path
+    (jnp and the fused Pallas kernels, which read widths from the param
+    shapes) works unchanged.
     """
     n_in, n_z = arch["n_input"], arch["n_z"]
     r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
@@ -50,13 +59,13 @@ def init_mlp_vae_params(key: jax.Array, arch: dict, dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 7)
     return {
         "recog": {
-            "h1": _init_linear(ks[0], n_in, r1, dtype),
+            "h1": _init_linear(ks[0], n_in + n_cond, r1, dtype),
             "h2": _init_linear(ks[1], r1, r2, dtype),
             "out_mean": _init_linear(ks[2], r2, n_z, dtype),
             "out_logvar": _init_linear(ks[3], r2, n_z, dtype),
         },
         "gener": {
-            "h1": _init_linear(ks[4], n_z, g1, dtype),
+            "h1": _init_linear(ks[4], n_z + n_cond, g1, dtype),
             "h2": _init_linear(ks[5], g1, g2, dtype),
             "out": _init_linear(ks[6], g2, n_in, dtype),
         },

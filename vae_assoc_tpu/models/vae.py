@@ -59,7 +59,45 @@ def _net_fns(cfg: ModalityConfig, use_pallas: bool = False):
 
 def init_vae(key: jax.Array, cfg: ModalityConfig, dtype=jnp.float32) -> dict:
     init_fn, _, _ = _net_fns(cfg)
+    if cfg.n_cond > 0:
+        # Conditional widths (MLP only — ModalityConfig rejects conv+cond).
+        return init_fn(key, cfg.arch, dtype, n_cond=cfg.n_cond)
     return init_fn(key, cfg.arch, dtype)
+
+
+def prepare_cond(cond, cfg: ModalityConfig, batch: int):
+    """Validate/convert the condition input for a conditional modality.
+
+    Accepts integer class labels ``[B]`` (one-hot encoded here) or an
+    already-encoded float ``[B, n_cond]`` (one-hot or soft). Returns the
+    fp32 ``[B, n_cond]`` array to concatenate. Raises when the modality is
+    conditional and ``cond`` is missing, or shapes disagree.
+    """
+    if cfg.n_cond == 0:
+        if cond is not None:
+            raise ValueError(
+                f"modality {cfg.name!r} is unconditional (n_cond=0) but a "
+                "condition input was given"
+            )
+        return None
+    if cond is None:
+        raise ValueError(
+            f"modality {cfg.name!r} is conditional (n_cond={cfg.n_cond}); "
+            "pass `cond` (int labels [B] or one-hot [B, n_cond])"
+        )
+    cond = jnp.asarray(cond)
+    if cond.ndim == 1:
+        cond = jax.nn.one_hot(cond, cfg.n_cond, dtype=jnp.float32)
+    if cond.ndim != 2 or cond.shape[-1] != cfg.n_cond:
+        raise ValueError(
+            f"cond must be [B] int labels or [B, {cfg.n_cond}]; "
+            f"got shape {cond.shape}"
+        )
+    if cond.shape[0] != batch:
+        raise ValueError(
+            f"cond batch {cond.shape[0]} != input batch {batch}"
+        )
+    return cond.astype(jnp.float32)
 
 
 def vae_forward(
@@ -71,17 +109,25 @@ def vae_forward(
     eps: Optional[jax.Array] = None,
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
+    cond: Optional[jax.Array] = None,
 ) -> VAEOutputs:
-    """Encoder → reparameterized sample → decoder. ε via `key` or explicit."""
+    """Encoder → reparameterized sample → decoder. ε via `key` or explicit.
+
+    ``cond``: condition input for conditional modalities (cfg.n_cond > 0);
+    concatenated to the encoder input and the sampled latent at the call
+    boundary, so the kernel paths run unchanged on the widened matmuls.
+    """
     from vae_assoc_tpu.configs import TRANSFER_FNS
 
+    cond = prepare_cond(cond, cfg, x.shape[0])
     _, encode, decode = _net_fns(cfg, use_pallas)
     transfer = TRANSFER_FNS[cfg.transfer]
+    x_in = x if cond is None else jnp.concatenate([jnp.asarray(x, jnp.float32), cond], axis=1)
     # named_scope: phase labels in profiler traces (SURVEY.md §5
     # "Tracing/profiling"); trace-time only, zero runtime cost.
     with jax.named_scope(f"encode_{cfg.name}"):
         z_mean, z_logvar = encode(
-            params, x, compute_dtype=compute_dtype, transfer=transfer
+            params, x_in, compute_dtype=compute_dtype, transfer=transfer
         )
     with jax.named_scope(f"sample_{cfg.name}"):
         if use_pallas and eps is None and key is not None and cfg.transfer == "softplus":
@@ -93,7 +139,8 @@ def vae_forward(
         else:
             z = sampling.reparameterize(z_mean, z_logvar, key=key, eps=eps)
     with jax.named_scope(f"decode_{cfg.name}"):
-        recon = decode(params, z, compute_dtype=compute_dtype, transfer=transfer)
+        z_in = z if cond is None else jnp.concatenate([z, cond], axis=1)
+        recon = decode(params, z_in, compute_dtype=compute_dtype, transfer=transfer)
     return VAEOutputs(z_mean, z_logvar, z, recon)
 
 
@@ -117,18 +164,23 @@ def vae_loss(
     return {"recon": mean(recon), "kl": mean(kl)}
 
 
-def reconstruct(params, x, cfg, *, key=None, eps=None, compute_dtype=jnp.float32):
+def reconstruct(params, x, cfg, *, key=None, eps=None, compute_dtype=jnp.float32, cond=None):
     """x → x̂ in data space (sigmoid applied for Bernoulli modalities)."""
-    out = vae_forward(params, x, cfg, key=key, eps=eps, compute_dtype=compute_dtype)
+    out = vae_forward(
+        params, x, cfg, key=key, eps=eps, compute_dtype=compute_dtype, cond=cond
+    )
     if cfg.recon == "bernoulli":
         return jax.nn.sigmoid(out.recon)
     return out.recon
 
 
-def generate(params, z, cfg, *, compute_dtype=jnp.float32, use_pallas=False):
+def generate(params, z, cfg, *, compute_dtype=jnp.float32, use_pallas=False, cond=None):
     """z → x̂ in data space (decoder only; the reference's `generate`)."""
     from vae_assoc_tpu.configs import TRANSFER_FNS
 
+    cond = prepare_cond(cond, cfg, z.shape[0])
+    if cond is not None:
+        z = jnp.concatenate([jnp.asarray(z, jnp.float32), cond], axis=1)
     _, _, decode = _net_fns(cfg, use_pallas)
     recon = decode(
         params, z, compute_dtype=compute_dtype, transfer=TRANSFER_FNS[cfg.transfer]
@@ -138,10 +190,13 @@ def generate(params, z, cfg, *, compute_dtype=jnp.float32, use_pallas=False):
     return recon
 
 
-def transform(params, x, cfg, *, compute_dtype=jnp.float32, use_pallas=False):
+def transform(params, x, cfg, *, compute_dtype=jnp.float32, use_pallas=False, cond=None):
     """x → z_mean (the reference's `transform`: recognition-net mean)."""
     from vae_assoc_tpu.configs import TRANSFER_FNS
 
+    cond = prepare_cond(cond, cfg, x.shape[0])
+    if cond is not None:
+        x = jnp.concatenate([jnp.asarray(x, jnp.float32), cond], axis=1)
     _, encode, _ = _net_fns(cfg, use_pallas)
     z_mean, _ = encode(
         params, x, compute_dtype=compute_dtype, transfer=TRANSFER_FNS[cfg.transfer]

@@ -69,6 +69,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "then use the (debiased) EMA weights. Stored in "
                         "the optimizer state, so it checkpoints/resumes "
                         "and shards under every layout automatically")
+    p.add_argument("--conditional", action="store_true",
+                   help="conditional VAE (Sohn et al. 2015): one-hot class "
+                        "labels concatenated into every encoder input and "
+                        "decoder latent (n_cond = #classes in the data) — "
+                        "label-directed generation without an exemplar. "
+                        "Requires labeled data; MLP towers only")
     p.add_argument("--kl-beta", type=float, default=None, metavar="B",
                    help="β-VAE weight on the KL terms (default 1.0 = the "
                         "reference objective)")
@@ -372,6 +378,24 @@ def main(argv=None) -> int:
     # trajectory-only: taking the first array would feed images).
     by_name = {"image": loaded[0], "trajectory": loaded[1]}
     data = [by_name[m.name] for m in cfg.modalities]
+    if args.conditional:
+        # Conditional VAE: widen every modality to n_cond = #classes and
+        # append the one-hot condition as the trailing batch entry (the
+        # split_cond convention) — it then rides through the split/shuffle/
+        # shard/eval plumbing like any other per-sample array.
+        if ds.labels is None:
+            raise SystemExit("--conditional requires labeled data")
+        lab = np.asarray(ds.labels, dtype=np.int64)
+        n_classes = int(lab.max()) + 1
+        try:
+            cfg = dataclasses.replace(cfg, modalities=tuple(
+                dataclasses.replace(m, n_cond=n_classes)
+                for m in cfg.modalities
+            ))
+        except ValueError as e:  # e.g. conv towers reject conditioning
+            raise SystemExit(f"--conditional: {e}")
+        data = data + [np.eye(n_classes, dtype=np.float32)[lab]]
+        print(f"conditional: n_cond={n_classes} classes", flush=True)
     val_data = None
     eval_labels = ds.labels
     if args.val_frac > 0:
@@ -631,11 +655,13 @@ def main(argv=None) -> int:
         # 28x28 would crash after the whole run.
         has_image_0 = cfg.modalities[0].arch["n_input"] == 784
         imgs = np.asarray(eval_xs[0][:8])
+        # Conditional runs: the trailing eval_xs entry is the one-hot cond.
+        cond8 = eval_xs[k][:8] if args.conditional else None
         if has_image_0:
             recon = np.asarray(
                 assoc_mod.cross_generate(
                     final_params, eval_xs[0][:8], cfg, src=0, dst=0,
-                    compute_dtype=tc.compute_dtype,
+                    compute_dtype=tc.compute_dtype, cond=cond8,
                 )
             )
             viz.reconstruction_grid(imgs, recon).savefig(
@@ -654,7 +680,7 @@ def main(argv=None) -> int:
             gen_traj = np.asarray(
                 assoc_mod.cross_generate(
                     final_params, eval_xs[0][:8], cfg, src=0, dst=1,
-                    compute_dtype=tc.compute_dtype,
+                    compute_dtype=tc.compute_dtype, cond=cond8,
                 )
             )
             # Generated features are in the trajectory encoding's space;

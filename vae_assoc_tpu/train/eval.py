@@ -30,8 +30,11 @@ def cross_modal_mse(
 
     Returns {"i->j": float-array scalar} for all ordered pairs (i≠j:
     cross-modal; i==j: plain reconstruction). Keys use modality names.
+    Conditional models: the condition rides as the trailing xs entry
+    (assoc.split_cond) and threads through both nets of every pair.
     """
     results = {}
+    xs, cond = assoc_mod.split_cond(xs, cfg)
     k = len(cfg.modalities)
     for i in range(k):
         for j in range(k):
@@ -43,6 +46,7 @@ def cross_modal_mse(
                 dst=j,
                 compute_dtype=compute_dtype,
                 use_pallas=use_pallas,
+                cond=cond,
             )
             d = out.astype(jnp.float32) - xs[j].astype(jnp.float32)
             name = f"{cfg.modalities[i].name}->{cfg.modalities[j].name}"
@@ -118,14 +122,18 @@ def _mll_fn(cfg: AssocConfig, k, block, compute_dtype, use_pallas):
 
     n_blocks = k // block
 
-    def run(params, xs, key, eps_all):
+    def run(params, xs, key, eps_all, cond=None):
         out = {}
         for m_i, mcfg in enumerate(cfg.modalities):
             p_m = params["modalities"][m_i]
             x = xs[m_i].astype(jnp.float32)
             _, encode, decode = vae_mod._net_fns(mcfg, use_pallas)
             transfer = TRANSFER_FNS[mcfg.transfer]
-            mu, lv = encode(p_m, x, compute_dtype=compute_dtype, transfer=transfer)
+            # Conditional models: the bound estimates log p(x|c) — concat
+            # c into the encoder input and every decode block, exactly as
+            # in training (models/vae.vae_forward).
+            x_enc = x if cond is None else jnp.concatenate([x, cond], axis=1)
+            mu, lv = encode(p_m, x_enc, compute_dtype=compute_dtype, transfer=transfer)
             mu, lv = mu.astype(jnp.float32), lv.astype(jnp.float32)
             sigma = jnp.exp(0.5 * lv)
             b, n_z = mu.shape
@@ -134,7 +142,7 @@ def _mll_fn(cfg: AssocConfig, k, block, compute_dtype, use_pallas):
 
             def body(i, _, mu=mu, sigma=sigma, lv=lv, x=x, p_m=p_m,
                      decode=decode, transfer=transfer, m_key=m_key,
-                     mcfg=mcfg, b=b, n_z=n_z, d=d, m_i=m_i):
+                     mcfg=mcfg, b=b, n_z=n_z, d=d, m_i=m_i, cond=cond):
                 if eps_all is None:
                     eps = jax.random.normal(
                         jax.random.fold_in(m_key, i), (block, b, n_z), jnp.float32
@@ -144,8 +152,13 @@ def _mll_fn(cfg: AssocConfig, k, block, compute_dtype, use_pallas):
                         eps_all[m_i], i * block, block, axis=0
                     )
                 z = mu[None] + sigma[None] * eps  # [block, B, n_z]
+                z_dec = z.reshape(block * b, n_z)
+                if cond is not None:
+                    z_dec = jnp.concatenate(
+                        [z_dec, jnp.tile(cond, (block, 1))], axis=1
+                    )
                 recon = decode(
-                    p_m, z.reshape(block * b, n_z),
+                    p_m, z_dec,
                     compute_dtype=compute_dtype, transfer=transfer,
                 )
                 if mcfg.recon == "bernoulli":
@@ -232,8 +245,15 @@ def marginal_log_likelihood(
         raise ValueError(
             f"block={block} must divide n_importance={n_importance}"
         )
+    xs, cond = assoc_mod.split_cond(xs, cfg)
     n = min(int(xs[0].shape[0]), max_samples)
     xs = [jnp.asarray(x[:n]) for x in xs]
+    if cond is not None:
+        # Normalize here (int labels → one-hot): _mll_fn bypasses
+        # vae_forward's prepare_cond for its blockwise decode.
+        from vae_assoc_tpu.models.vae import prepare_cond
+
+        cond = prepare_cond(jnp.asarray(cond)[:n], cfg.modalities[0], n)
     if eps is not None:
         eps = [jnp.asarray(e, jnp.float32) for e in eps]
         for e, x, m in zip(eps, xs, cfg.modalities):
@@ -242,7 +262,7 @@ def marginal_log_likelihood(
                 raise ValueError(f"eps for {m.name}: {e.shape} != {want}")
     fn = _mll_fn(cfg, n_importance, block, jnp.dtype(compute_dtype),
                  bool(use_pallas))
-    out = fn(params, xs, jax.random.key(seed), eps)
+    out = fn(params, xs, jax.random.key(seed), eps, cond)
     return {key: float(v) for key, v in out.items()}
 
 
