@@ -364,3 +364,155 @@ def test_driver_conditional_end_to_end(tmp_path):
     assert [r for r in recs if "val_total" in r]
     assert [r for r in recs if "mse_image->trajectory" in r]
     assert (plots / "reconstructions.png").exists()
+
+
+# ---------------------------------------------------------------------------
+# Serving + export surfaces
+# ---------------------------------------------------------------------------
+
+
+def _predictor():
+    from vae_assoc_tpu.serve import Predictor
+
+    cfg = _cfg()
+    params = assoc_mod.init_assoc(jax.random.key(0), cfg)
+    return Predictor(params, cfg), cfg, params
+
+
+def test_predictor_conditional_endpoints():
+    pred, cfg, params = _predictor()
+    xs = _batch(b=10)
+    cond = np.asarray(xs[2])
+    # cross_generate must equal the direct functional call.
+    out = pred.cross_generate(np.asarray(xs[0]), "image", "trajectory",
+                              cond=cond)
+    direct = assoc_mod.cross_generate(
+        params, xs[0], cfg, "image", "trajectory", cond=xs[2]
+    )
+    np.testing.assert_allclose(out, np.asarray(direct), rtol=1e-5, atol=1e-6)
+    # transform with trailing labels entry.
+    zs = pred.transform([np.asarray(xs[0]), np.asarray(xs[1]), cond])
+    zd = assoc_mod.transform(params, xs, cfg)
+    np.testing.assert_allclose(zs[0], np.asarray(zd[0]), rtol=1e-5, atol=1e-6)
+    # generate with per-class cond.
+    z = np.zeros((4, 20), np.float32)
+    g = pred.generate(z, "image", cond=np.array([0, 1, 2, 3]))
+    assert g.shape == (4, 784)
+    # reconstruct passthrough.
+    r = pred.reconstruct(np.asarray(xs[0]), "image", cond=cond)
+    assert r.shape == (10, 784)
+    # missing cond -> clear error.
+    with pytest.raises(ValueError, match="needs `cond`"):
+        pred.cross_generate(np.asarray(xs[0]), 0, 1)
+    # unconditional predictor rejects cond.
+    cfg0 = AssocConfig([ModalityConfig("image", default_image_arch(hidden=32))])
+    from vae_assoc_tpu.serve import Predictor
+
+    pred0 = Predictor(assoc_mod.init_assoc(jax.random.key(0), cfg0), cfg0)
+    with pytest.raises(ValueError, match="unconditional"):
+        pred0.cross_generate(np.asarray(xs[0]), 0, 0, cond=cond)
+
+
+def test_predictor_conditional_warmup():
+    pred, cfg, _ = _predictor()
+    pred.warmup(buckets=(8,), all_endpoints=True)  # must not raise
+
+
+def test_microbatcher_conditional():
+    """Coalesced conditional requests == direct calls (the [x|cond] hstack
+    round-trips), incl. min_batch zero-pad rows carrying a zero cond."""
+    from vae_assoc_tpu.serve import MicroBatcher
+
+    pred, cfg, params = _predictor()
+    xs = _batch(b=12)
+    x = np.asarray(xs[0])
+    cond = np.asarray(xs[2])
+    direct = np.asarray(assoc_mod.cross_generate(
+        params, xs[0], cfg, 0, 1, cond=xs[2]))
+    with MicroBatcher(pred, max_wait_ms=20.0, min_batch=16) as mb:
+        f1 = mb.submit(x[:5], 0, 1, cond=cond[:5])
+        f2 = mb.submit(x[5:], 0, 1, cond=cond[5:])
+        np.testing.assert_allclose(f1.result(timeout=60), direct[:5],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(f2.result(timeout=60), direct[5:],
+                                   rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError, match="needs `cond`"):
+            mb.submit(x[:2], 0, 1)
+
+
+def test_exported_predictor_conditional(tmp_path):
+    """AOT export of a conditional model: every endpoint gains the cond
+    arg, artifacts serve without model code, results match live serving."""
+    from vae_assoc_tpu.export import ExportedPredictor, export_predictor
+
+    pred, cfg, params = _predictor()
+    out_dir = str(tmp_path / "artifact")
+    manifest = export_predictor(pred, out_dir)
+    assert manifest["config"]["modalities"][0]["n_cond"] == N_COND
+    ep = ExportedPredictor.load(out_dir)
+    assert ep.cfg.n_cond == N_COND
+    xs = _batch(b=6)
+    x, cond = np.asarray(xs[0]), np.asarray(xs[2])
+    np.testing.assert_allclose(
+        ep.cross_generate(x, "image", "trajectory", cond=cond),
+        pred.cross_generate(x, "image", "trajectory", cond=cond),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        ep.transform([x, np.asarray(xs[1]), cond])[1],
+        pred.transform([x, np.asarray(xs[1]), cond])[1],
+        rtol=1e-4, atol=1e-5,
+    )
+    z = np.zeros((3, 20), np.float32)
+    np.testing.assert_allclose(
+        ep.generate(z, 0, cond=np.array([0, 1, 2])),
+        pred.generate(z, 0, cond=np.array([0, 1, 2])),
+        rtol=1e-4, atol=1e-5,
+    )
+    with pytest.raises(ValueError, match="needs `cond`"):
+        ep.cross_generate(x, 0, 1)
+
+
+def test_http_server_conditional():
+    """ModelServer routes the 'cond' field end-to-end over HTTP."""
+    import json
+    import urllib.request
+
+    from vae_assoc_tpu.serve_http import ModelServer
+
+    pred, cfg, params = _predictor()
+    server = ModelServer(pred, max_batch=32, min_batch=8, warm=False)
+    port = server.start()
+    try:
+        xs = _batch(b=3)
+        x = np.asarray(xs[0]).tolist()
+        cond = np.asarray(xs[2]).tolist()
+
+        def post(route, payload):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}{route}",
+                data=json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    return r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                return e.code, json.loads(e.read())
+
+        st, out = post("/v1/cross_generate",
+                       {"inputs": x, "src": 0, "dst": 1, "cond": cond})
+        assert st == 200, out
+        direct = np.asarray(assoc_mod.cross_generate(
+            params, xs[0], cfg, 0, 1, cond=xs[2]))
+        np.testing.assert_allclose(np.asarray(out["outputs"]), direct,
+                                   rtol=1e-4, atol=1e-5)
+        st, out = post("/v1/transform",
+                       {"inputs": [x, np.asarray(xs[1]).tolist()],
+                        "cond": cond})
+        assert st == 200, out
+        st, out = post("/v1/cross_generate",
+                       {"inputs": x, "src": 0, "dst": 1})
+        assert st == 400 and "cond" in out["error"]
+    finally:
+        server.close()

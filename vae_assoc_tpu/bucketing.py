@@ -37,6 +37,34 @@ def pad_rows(x: np.ndarray):
     return np.concatenate([x, np.zeros((b - n,) + x.shape[1:], x.dtype)], 0), n
 
 
+def normalize_cond(cond, n_cond: int, batch: int) -> np.ndarray:
+    """Serving-side condition normalizer (conditional models, n_cond > 0):
+    int labels [B] → one-hot; float [B, n_cond] passes through as fp32.
+    Lives here (numpy-only) so `serve.Predictor` and
+    `export.ExportedPredictor` normalize identically."""
+    if cond is None:
+        raise ValueError(
+            f"conditional model (n_cond={n_cond}): every request needs "
+            "`cond` (int labels [B] or one-hot [B, n_cond])"
+        )
+    c = np.asarray(cond)
+    if c.ndim == 1:
+        lab = c.astype(np.int64)
+        if lab.size and (lab.min() < 0 or lab.max() >= n_cond):
+            raise ValueError(
+                f"labels out of range [0, {n_cond}): "
+                f"[{lab.min()}, {lab.max()}]"
+            )
+        c = np.eye(n_cond, dtype=np.float32)[lab]
+    if c.ndim != 2 or c.shape[1] != n_cond:
+        raise ValueError(
+            f"cond must be [B] labels or [B, {n_cond}]; got {c.shape}"
+        )
+    if c.shape[0] != batch:
+        raise ValueError(f"cond batch {c.shape[0]} != request batch {batch}")
+    return c.astype(np.float32)
+
+
 def chunked_call(call: Callable, x) -> np.ndarray:
     """Run a single-input row-wise endpoint at any batch size.
 
@@ -88,14 +116,18 @@ def warmup_endpoints(
     """
     k = len(cfg.modalities)
     n_z = cfg.modalities[0].arch["n_z"]
+    n_c = getattr(cfg, "n_cond", 0)
     for b in buckets:
         xs = [np.zeros((b, m.arch["n_input"]), np.float32)
               for m in cfg.modalities]
+        # Conditional models: compile keys on shapes only, so an all-zero
+        # (soft) condition probe warms the same programs real requests hit.
+        ckw = {"cond": np.zeros((b, n_c), np.float32)} if n_c else {}
         for i in range(k):
             for j in range(k):
-                predictor.cross_generate(xs[i], i, j)
+                predictor.cross_generate(xs[i], i, j, **ckw)
         if all_endpoints:
-            predictor.transform(xs)
+            predictor.transform(xs + list(ckw.values()))
             z = np.zeros((b, n_z), np.float32)
             for j in range(k):
-                predictor.generate(z, j)
+                predictor.generate(z, j, **ckw)

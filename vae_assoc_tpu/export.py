@@ -68,6 +68,7 @@ def _endpoint_fns(params, cfg, compute_dtype):
     k = len(cfg.modalities)
     n_in = [m.arch["n_input"] for m in cfg.modalities]
     n_z = cfg.modalities[0].arch["n_z"]
+    n_c = cfg.n_cond  # conditional models: every endpoint gains a cond arg
 
     def sym(scope, n):
         return jax.ShapeDtypeStruct(
@@ -75,27 +76,43 @@ def _endpoint_fns(params, cfg, compute_dtype):
         )
 
     fns = {}
+    # transform takes the trailing-cond batch-list convention directly, so
+    # its traced signature stays "one list" either way.
     fns["transform"] = (
         jax.jit(lambda xs: assoc_mod.transform(params, xs, **kw)),
-        lambda scope: ([sym(scope, n) for n in n_in],),
+        lambda scope: ([sym(scope, n) for n in n_in]
+                       + ([sym(scope, n_c)] if n_c else []),),
     )
     for j in range(k):
-        fns[f"generate_{j}"] = (
-            jax.jit(functools.partial(
+        if n_c:
+            fn_g = jax.jit(functools.partial(
+                lambda z, c, j: assoc_mod.generate(
+                    params, z, modality=j, cond=c, **kw), j=j))
+            build_g = lambda scope: (sym(scope, n_z), sym(scope, n_c))
+        else:
+            fn_g = jax.jit(functools.partial(
                 lambda z, j: assoc_mod.generate(params, z, modality=j, **kw),
-                j=j)),
-            lambda scope: (sym(scope, n_z),),
-        )
+                j=j))
+            build_g = lambda scope: (sym(scope, n_z),)
+        fns[f"generate_{j}"] = (fn_g, build_g)
     for i in range(k):
         for j in range(k):
-            fns[f"cross_generate_{i}_{j}"] = (
-                jax.jit(functools.partial(
+            if n_c:
+                fn_c = jax.jit(functools.partial(
+                    lambda x, c, i, j: assoc_mod.cross_generate(
+                        params, x, src=i, dst=j, cond=c, **kw),
+                    i=i, j=j))
+                build_c = functools.partial(
+                    lambda scope, i: (sym(scope, n_in[i]), sym(scope, n_c)),
+                    i=i)
+            else:
+                fn_c = jax.jit(functools.partial(
                     lambda x, i, j: assoc_mod.cross_generate(
                         params, x, src=i, dst=j, **kw),
-                    i=i, j=j)),
-                functools.partial(
-                    lambda scope, i: (sym(scope, n_in[i]),), i=i),
-            )
+                    i=i, j=j))
+                build_c = functools.partial(
+                    lambda scope, i: (sym(scope, n_in[i]),), i=i)
+            fns[f"cross_generate_{i}_{j}"] = (fn_c, build_c)
     return fns
 
 
@@ -192,31 +209,56 @@ class ExportedPredictor:
     # serve.Predictor runs — numpy-only, so the no-model-code constraint
     # of a self-contained artifact still holds). The exported StableHLO
     # programs are traced at float32, hence the cast before chunking.
-    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
+    def _cond(self, cond, batch):
+        from vae_assoc_tpu import bucketing
+
+        if not self.cfg.n_cond:
+            if cond is not None:
+                raise ValueError("model is unconditional; drop `cond`")
+            return None
+        return bucketing.normalize_cond(cond, self.cfg.n_cond, batch)
+
+    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str],
+                       *, cond=None):
         from vae_assoc_tpu import bucketing
 
         src = self.cfg.modality_index(src)
         dst = self.cfg.modality_index(dst)
-        return bucketing.chunked_call(
-            self._call[f"cross_generate_{src}_{dst}"],
-            np.asarray(x, np.float32),
+        x = np.asarray(x, np.float32)
+        cond = self._cond(cond, x.shape[0])
+        call = self._call[f"cross_generate_{src}_{dst}"]
+        if cond is None:
+            return bucketing.chunked_call(call, x)
+        (out,) = bucketing.chunked_multi_call(
+            lambda ps: (call(*ps),), [x, cond]
         )
+        return out
 
-    def reconstruct(self, x, modality: Union[int, str]):
+    def reconstruct(self, x, modality: Union[int, str], *, cond=None):
         i = self.cfg.modality_index(modality)
-        return self.cross_generate(x, i, i)
+        return self.cross_generate(x, i, i, cond=cond)
 
-    def generate(self, z, modality: Union[int, str]):
+    def generate(self, z, modality: Union[int, str], *, cond=None):
         from vae_assoc_tpu import bucketing
 
         j = self.cfg.modality_index(modality)
-        return bucketing.chunked_call(
-            self._call[f"generate_{j}"], np.asarray(z, np.float32)
+        z = np.asarray(z, np.float32)
+        cond = self._cond(cond, z.shape[0])
+        call = self._call[f"generate_{j}"]
+        if cond is None:
+            return bucketing.chunked_call(call, z)
+        (out,) = bucketing.chunked_multi_call(
+            lambda ps: (call(*ps),), [z, cond]
         )
+        return out
 
     def transform(self, xs: Sequence[np.ndarray]):
         from vae_assoc_tpu import bucketing
 
+        xs = list(xs)
+        k = len(self.cfg.modalities)
+        if self.cfg.n_cond and len(xs) == k + 1:
+            xs[k] = self._cond(xs[k], np.asarray(xs[0]).shape[0])
         return bucketing.chunked_multi_call(
             self._call["transform"],
             [np.asarray(x, np.float32) for x in xs],

@@ -117,32 +117,63 @@ class Predictor:
     # export.ExportedPredictor so the two surfaces cannot drift): batches
     # larger than MAX_BUCKET split into MAX_BUCKET-row device calls,
     # smaller ones pad up to a power-of-two bucket.
+    def _cond(self, cond, batch):
+        """Normalize the request condition (conditional models only)."""
+        if self.cfg.n_cond == 0:
+            if cond is not None:
+                raise ValueError("model is unconditional; drop `cond`")
+            return None
+        return bucketing.normalize_cond(cond, self.cfg.n_cond, batch)
+
     def transform(self, xs: Sequence[np.ndarray]):
-        """Per-modality latent means; accepts any batch size."""
+        """Per-modality latent means; accepts any batch size. Conditional
+        models: pass the condition as the trailing xs entry (labels or
+        one-hot — normalized here so bucketing pads a float array)."""
+        xs = list(xs)
+        k = len(self.cfg.modalities)
+        if self.cfg.n_cond and len(xs) == k + 1:
+            xs[k] = self._cond(xs[k], np.asarray(xs[0]).shape[0])
         return bucketing.chunked_multi_call(
             lambda ps: self._transform(self.params, ps), xs
         )
 
-    def generate(self, z, modality: Union[int, str]):
+    def generate(self, z, modality: Union[int, str], *, cond=None):
         # Normalize names → indices BEFORE the jit call: modality is a
         # static arg, so "image" and 0 would otherwise compile (and cache)
         # separately — a warmed-up server would still pay a fresh XLA
         # compile on the first name-addressed request.
         modality = self.cfg.modality_index(modality)
-        return bucketing.chunked_call(
-            lambda zp: self._generate(self.params, zp, modality=modality), z
+        cond = self._cond(cond, np.asarray(z).shape[0])
+        if cond is None:
+            return bucketing.chunked_call(
+                lambda zp: self._generate(self.params, zp, modality=modality), z
+            )
+        (out,) = bucketing.chunked_multi_call(
+            lambda ps: (self._generate(
+                self.params, ps[0], modality=modality, cond=ps[1]),),
+            [np.asarray(z), cond],
         )
+        return out
 
-    def reconstruct(self, x, modality: Union[int, str]):
+    def reconstruct(self, x, modality: Union[int, str], *, cond=None):
         i = self.cfg.modality_index(modality)
-        return self.cross_generate(x, i, i)
+        return self.cross_generate(x, i, i, cond=cond)
 
-    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str]):
+    def cross_generate(self, x, src: Union[int, str], dst: Union[int, str],
+                       *, cond=None):
         src = self.cfg.modality_index(src)  # see generate(): names → indices
         dst = self.cfg.modality_index(dst)
-        return bucketing.chunked_call(
-            lambda xp: self._cross(self.params, xp, src=src, dst=dst), x
+        cond = self._cond(cond, np.asarray(x).shape[0])
+        if cond is None:
+            return bucketing.chunked_call(
+                lambda xp: self._cross(self.params, xp, src=src, dst=dst), x
+            )
+        (out,) = bucketing.chunked_multi_call(
+            lambda ps: (self._cross(
+                self.params, ps[0], src=src, dst=dst, cond=ps[1]),),
+            [np.asarray(x), cond],
         )
+        return out
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024), *,
                all_endpoints: bool = False) -> None:
@@ -261,16 +292,28 @@ class MicroBatcher:
                 self._q.put((route, x, fut))
         return futs
 
-    def submit(self, x, src: Union[int, str], dst: Union[int, str]):
+    def submit(self, x, src: Union[int, str], dst: Union[int, str], *,
+               cond=None):
         """Enqueue one request; returns a concurrent.futures.Future.
 
         Requests larger than max_batch are split into max_batch-row chunks
         enqueued atomically; the returned future resolves to the
         re-concatenated result (or the first chunk's exception).
+
+        Conditional models: pass `cond` (labels [B] or one-hot). The cond
+        columns ride the queue hstacked onto x — [x | cond] — so the
+        coalesce/min_batch-pad/chunk machinery is untouched (zero pad rows
+        carry a zero soft condition); `_dispatch` splits them off again.
         """
         x = np.asarray(x)
         if x.ndim != 2:
             raise ValueError(f"expected [n, features] request, got {x.shape}")
+        n_c = self.predictor.cfg.n_cond
+        if n_c:
+            c = bucketing.normalize_cond(cond, n_c, x.shape[0])
+            x = np.concatenate([x.astype(np.float32), c], axis=1)
+        elif cond is not None:
+            raise ValueError("model is unconditional; drop `cond`")
         route = (
             self.predictor.cfg.modality_index(src),
             self.predictor.cfg.modality_index(dst),
@@ -281,9 +324,9 @@ class MicroBatcher:
                   for lo in range(0, x.shape[0], self.max_batch)]
         return _join_futures(self._enqueue(route, chunks))
 
-    def cross_generate(self, x, src, dst):
+    def cross_generate(self, x, src, dst, *, cond=None):
         """Blocking convenience wrapper over `submit`."""
-        return self.submit(x, src, dst).result()
+        return self.submit(x, src, dst, cond=cond).result()
 
     def _worker(self):
         import queue
@@ -337,7 +380,13 @@ class MicroBatcher:
                     [big, np.zeros((self.min_batch - big.shape[0],)
                                    + big.shape[1:], big.dtype)], axis=0
                 )
-            out = self.predictor.cross_generate(big, src, dst)
+            n_c = self.predictor.cfg.n_cond
+            if n_c:
+                # Split the hstacked [x | cond] columns (see submit()).
+                big, cond = big[:, :-n_c], big[:, -n_c:]
+                out = self.predictor.cross_generate(big, src, dst, cond=cond)
+            else:
+                out = self.predictor.cross_generate(big, src, dst)
             self.dispatches += 1
         except Exception as e:  # pragma: no cover - propagate to callers
             for _, fut in items:

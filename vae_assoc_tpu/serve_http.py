@@ -112,6 +112,20 @@ class ModelServer:
             predictor.warmup(buckets, all_endpoints=True)
         self._httpd = None
 
+    def _payload_cond(self, payload: dict, batch: int):
+        """Normalize the optional 'cond' field (conditional models only)."""
+        from vae_assoc_tpu import bucketing
+
+        n_c = self.predictor.cfg.n_cond
+        if not n_c:
+            if payload.get("cond") is not None:
+                raise ValueError("model is unconditional; drop 'cond'")
+            return None
+        cond = payload.get("cond")
+        return bucketing.normalize_cond(
+            None if cond is None else np.asarray(cond), n_c, batch
+        )
+
     # -- request handling (pure: dict in → (status, dict) out) --------------
     def handle(self, path: str, payload: dict):
         cfg = self.predictor.cfg
@@ -129,27 +143,42 @@ class ModelServer:
                         "per-modality inputs must have equal row counts, "
                         f"got {[x.shape[0] for x in xs]}"
                     )
+                cond = self._payload_cond(payload, xs[0].shape[0])
+                if cond is not None:
+                    # Trailing-entry convention: cond pads/chunks with the
+                    # modality arrays and transform threads it through.
+                    xs = xs + [cond]
                 zs = self._chunked_multi(self.predictor.transform, xs)
                 return 200, {"latents": [z.tolist() for z in zs]}
             if path == "/v1/generate":
                 z = _as_2d(payload["latents"], "latents")
                 m = payload["modality"]
-                out = self._chunked(
-                    lambda c: self.predictor.generate(c, m), z
-                )
+                cond = self._payload_cond(payload, z.shape[0])
+                if cond is None:
+                    out = self._chunked(
+                        lambda c: self.predictor.generate(c, m), z
+                    )
+                else:
+                    out = self._chunked_multi(
+                        lambda ps: (self.predictor.generate(
+                            ps[0], m, cond=ps[1]),),
+                        [z, cond],
+                    )[0]
                 return 200, {"outputs": out.tolist()}
             if path == "/v1/reconstruct":
                 x = _as_2d(payload["inputs"], "inputs")
                 m = payload["modality"]
+                cond = self._payload_cond(payload, x.shape[0])
                 # reconstruct == cross_generate(m, m): route it through the
                 # batcher so concurrent callers coalesce (it chunks at
                 # max_batch internally).
-                out = self.batcher.cross_generate(x, m, m)
+                out = self.batcher.cross_generate(x, m, m, cond=cond)
                 return 200, {"outputs": out.tolist()}
             if path == "/v1/cross_generate":
                 x = _as_2d(payload["inputs"], "inputs")
+                cond = self._payload_cond(payload, x.shape[0])
                 out = self.batcher.cross_generate(
-                    x, payload["src"], payload["dst"]
+                    x, payload["src"], payload["dst"], cond=cond
                 )
                 return 200, {"outputs": out.tolist()}
         except (KeyError, ValueError, TypeError, IndexError) as e:
