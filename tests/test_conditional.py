@@ -516,3 +516,114 @@ def test_http_server_conditional():
         assert st == 400 and "cond" in out["error"]
     finally:
         server.close()
+
+
+# ---------------------------------------------------------------------------
+# Composition with the parallel layouts / vmapped sweep / fused loop
+# ---------------------------------------------------------------------------
+
+
+def test_fused_loop_conditional():
+    from vae_assoc_tpu.train.loop import train_loop_fused
+
+    cfg = _cfg()
+    tc = TrainConfig(batch_size=16, steps_per_call=2)
+    r = np.random.RandomState(0)
+    data = [r.rand(64, 784).astype(np.float32),
+            r.randn(64, 200).astype(np.float32),
+            np.eye(N_COND, dtype=np.float32)[r.randint(0, N_COND, 64)]]
+    state, hist = train_loop_fused(cfg, tc, data, epochs=3)
+    assert np.isfinite(hist[-1]["total"])
+    assert hist[-1]["total"] < hist[0]["total"]
+
+
+def test_sweep_conditional():
+    """The model-axis vmap transports the trailing cond entry unchanged."""
+    from vae_assoc_tpu.train.sweep import (
+        init_sweep_state,
+        make_sweep_step,
+        select_model,
+    )
+
+    cfg = _cfg()
+    tc = TrainConfig(batch_size=16)
+    state = init_sweep_state(cfg, tc, seeds=[0, 1, 2])
+    step = make_sweep_step(cfg, tc)
+    xs = _batch()
+    state, m = step(state, xs)
+    assert m["total"].shape == (3,)
+    assert np.all(np.isfinite(np.asarray(m["total"])))
+    one = select_model(state, 1)
+    z = assoc_mod.transform(one.params, xs, cfg)
+    assert z[0].shape == (16, 20)
+
+
+def test_zero_layout_conditional():
+    from vae_assoc_tpu.parallel import (
+        init_zero_train_state,
+        make_mesh,
+        make_zero_train_step,
+        shard_batch,
+    )
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = make_mesh(4)
+    cfg = _cfg()
+    tc = TrainConfig(batch_size=16)
+    zstate = init_zero_train_state(cfg, tc, mesh)
+    zstep = make_zero_train_step(cfg, tc, mesh)
+    xs = _batch(b=16)
+    for _ in range(3):
+        zstate, m = zstep(zstate, shard_batch(mesh, xs))
+    assert np.isfinite(float(m["total"]))
+
+
+def test_tp_and_fsdp_layouts_conditional():
+    """GSPMD spec trees pattern-match layer names, not widths — the
+    widened conditional h1 shards fine under TP and FSDP."""
+    from vae_assoc_tpu.parallel import make_mesh
+    from vae_assoc_tpu.parallel.fsdp import (
+        init_fsdp_train_state,
+        make_fsdp_train_step,
+    )
+    from vae_assoc_tpu.parallel.tp import (
+        init_tp_train_state,
+        make_tp_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _cfg()
+    tc = TrainConfig(batch_size=16, use_pallas=False)
+    xs = _batch(b=16)
+
+    mesh2d = make_mesh(8, model_axis="model", model_parallel=4)
+    tstate = init_tp_train_state(cfg, tc, mesh2d)
+    tstep = make_tp_train_step(cfg, tc, mesh2d)
+    tstate, tm = tstep(tstate, xs)
+    assert np.isfinite(float(tm["total"]))
+
+    mesh1d = make_mesh(8)
+    fstate = init_fsdp_train_state(cfg, tc, mesh1d)
+    fstep = make_fsdp_train_step(cfg, tc, mesh1d)
+    fstate, fm = fstep(fstate, xs)
+    assert np.isfinite(float(fm["total"]))
+
+
+def test_tp_fsdp_combined_conditional():
+    from vae_assoc_tpu.parallel import make_mesh
+    from vae_assoc_tpu.parallel.tp_fsdp import (
+        init_tp_fsdp_train_state,
+        make_tp_fsdp_train_step,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    cfg = _cfg()
+    tc = TrainConfig(batch_size=16, use_pallas=False)
+    mesh = make_mesh(8, model_axis="model", model_parallel=2)
+    state = init_tp_fsdp_train_state(cfg, tc, mesh)
+    step = make_tp_fsdp_train_step(cfg, tc, mesh)
+    state, m = step(state, _batch(b=16))
+    assert np.isfinite(float(m["total"]))

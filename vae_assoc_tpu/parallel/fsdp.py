@@ -84,18 +84,27 @@ def fsdp_param_specs(
                 return {"w": P(*spec), "b": P()}
         return {"w": P(), "b": P()}
 
-    def mlp_tower(arch) -> dict:
+    def mlp_tower(m) -> dict:
+        arch = m.arch
         n_in, n_z = arch["n_input"], arch["n_z"]
         r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
         g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+        # Conditional models widen the first layer of each net by n_cond
+        # (networks.init_mlp_vae_params) — divisibility must be decided on
+        # the STORED widths, or the spec would claim a shardable dim the
+        # real array cannot split (e.g. 784 % 8 == 0 but 788 % 8 != 0).
         return {
             "recog": {
-                "h1": lin(n_in, r1),
+                "h1": lin(n_in + m.n_cond, r1),
                 "h2": lin(r1, r2),
                 "out_mean": lin(r2, n_z),
                 "out_logvar": lin(r2, n_z),
             },
-            "gener": {"h1": lin(n_z, g1), "h2": lin(g1, g2), "out": lin(g2, n_in)},
+            "gener": {
+                "h1": lin(n_z + m.n_cond, g1),
+                "h2": lin(g1, g2),
+                "out": lin(g2, n_in),
+            },
         }
 
     def conv_tower(arch) -> dict:
@@ -123,7 +132,7 @@ def fsdp_param_specs(
     _check_gspmd_encoders(cfg, "FSDP")  # see tp.tp_param_specs
     return {
         "modalities": tuple(
-            conv_tower(m.arch) if m.encoder == "conv" else mlp_tower(m.arch)
+            conv_tower(m.arch) if m.encoder == "conv" else mlp_tower(m)
             for m in cfg.modalities
         )
     }

@@ -84,19 +84,22 @@ def tp_fsdp_param_specs(
                 }
         return {"w": P(), "b": P()}
 
-    def tower(arch) -> dict:
+    def tower(m) -> dict:
+        arch = m.arch
         n_in, n_z = arch["n_input"], arch["n_z"]
         r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
         g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+        # h1 input widths are the STORED (conditional-widened) dims — see
+        # fsdp.fsdp_param_specs.mlp_tower.
         return {
             "recog": {
-                "h1": col(n_in),
+                "h1": col(n_in + m.n_cond),
                 "h2": row(r2),
                 "out_mean": head(r2, n_z),
                 "out_logvar": head(r2, n_z),
             },
             "gener": {
-                "h1": col(n_z),
+                "h1": col(n_z + m.n_cond),
                 "h2": row(g2),
                 "out": head(g2, n_in),
             },
@@ -137,7 +140,7 @@ def tp_fsdp_param_specs(
 
     return {
         "modalities": tuple(
-            conv_tower(m.arch) if m.encoder == "conv" else tower(m.arch)
+            conv_tower(m.arch) if m.encoder == "conv" else tower(m)
             for m in cfg.modalities
         )
     }
