@@ -48,20 +48,26 @@ def main():
     jax.device_get(imgs[:1])
     data = [imgs, trajs]
 
-    for mode in ("mega", True):
-        results = {False: [], True: []}
-        for block in range(2):
-            for knob in (False, True):
-                mlp._PARALLEL_FWD_GRID = knob
-                jax.clear_caches()  # force a full retrace under the knob
-                sps = run_block(mode, data)
-                results[knob].append(sps)
-                print(f"use_pallas={mode!r} parallel_grid={knob} "
-                      f"block {block}: {sps:,.0f} samples/s", flush=True)
-        off, on = max(results[False]), max(results[True])
-        print(f"== use_pallas={mode!r}: off {off:,.0f} vs on {on:,.0f} "
-              f"({(on / off - 1) * 100:+.1f}%)", flush=True)
-    mlp._PARALLEL_FWD_GRID = False
+    # Restore the SHIPPED default (True) whatever happens mid-arm — a
+    # link timeout must not leave module state on the losing arm, and a
+    # live session calling main() must keep the production declaration.
+    try:
+        for mode in ("mega", True):
+            results = {False: [], True: []}
+            for block in range(2):
+                for knob in (False, True):
+                    mlp._PARALLEL_FWD_GRID = knob
+                    jax.clear_caches()  # force a full retrace under the knob
+                    sps = run_block(mode, data)
+                    results[knob].append(sps)
+                    print(f"use_pallas={mode!r} parallel_grid={knob} "
+                          f"block {block}: {sps:,.0f} samples/s", flush=True)
+            off, on = max(results[False]), max(results[True])
+            print(f"== use_pallas={mode!r}: off {off:,.0f} vs on {on:,.0f} "
+                  f"({(on / off - 1) * 100:+.1f}%)", flush=True)
+    finally:
+        mlp._PARALLEL_FWD_GRID = True
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -106,6 +106,27 @@ class AssocVariationalAutoEncoder:
             static_argnames=("src", "dst"),
         )
 
+    def _host_cond(self, cond, batch: int):
+        """Host-boundary condition validation (conditional models): range-
+        check integer labels and one-hot them in numpy BEFORE the jit call.
+        Inside a traced program `jax.nn.one_hot` silently zero-encodes an
+        out-of-range label — a class-9 request against n_cond=9 would train
+        or decode with a BLANK condition; the serving surfaces reject it
+        (bucketing.normalize_cond), so the model API must too."""
+        from vae_assoc_tpu import bucketing
+
+        return jnp.asarray(
+            bucketing.normalize_cond(np.asarray(cond), self.config.n_cond, batch)
+        )
+
+    def _host_xs(self, xs: Sequence) -> list:
+        """asarray a batch list, validating a trailing cond entry host-side."""
+        xs = [jnp.asarray(x) for x in xs]
+        k = len(self.config.modalities)
+        if self.config.n_cond and len(xs) == k + 1:
+            xs[k] = self._host_cond(xs[k], int(xs[0].shape[0]))
+        return xs
+
     # -- training ----------------------------------------------------------
     def partial_fit(self, xs: Sequence[np.ndarray]) -> float:
         """One optimizer step on a list of per-modality minibatches.
@@ -118,7 +139,7 @@ class AssocVariationalAutoEncoder:
         `sess.run`). NOTE: this per-call host sync exists for API parity;
         throughput-critical code should use `train_loop`/`make_train_step`.
         """
-        xs = [jnp.asarray(x) for x in xs]
+        xs = self._host_xs(xs)
         self.state, metrics = self._step_fn(self.state, xs)
         return float(metrics["total"])
 
@@ -126,7 +147,7 @@ class AssocVariationalAutoEncoder:
     def transform(self, xs: Sequence[np.ndarray]):
         """Per-modality latent means [μ_0..μ_{K-1}]. Conditional models:
         append the condition as the trailing entry."""
-        return self._transform(self.state.params, [jnp.asarray(x) for x in xs])
+        return self._transform(self.state.params, self._host_xs(xs))
 
     def generate(self, z=None, modality: Union[int, str] = 0, *, cond=None):
         """Decode z (or a FRESH standard-normal draw) with one modality's
@@ -142,7 +163,7 @@ class AssocVariationalAutoEncoder:
             return self._generate(self.state.params, jnp.asarray(z), modality=modality)
         return self._generate(
             self.state.params, jnp.asarray(z), modality=modality,
-            cond=jnp.asarray(cond),
+            cond=self._host_cond(cond, int(np.asarray(z).shape[0])),
         )
 
     def reconstruct(self, xs: Sequence[np.ndarray], *, sample: bool = False):
@@ -155,7 +176,7 @@ class AssocVariationalAutoEncoder:
         """
         from vae_assoc_tpu.models import assoc as _assoc
 
-        xs_split, cond = _assoc.split_cond(list(xs), self.config)
+        xs_split, cond = _assoc.split_cond(self._host_xs(xs), self.config)
         if not sample:
             # Explicit parent call: the single-modality subclass overrides
             # transform() with an unpacked (X, cond) signature, so a
@@ -193,7 +214,7 @@ class AssocVariationalAutoEncoder:
             return self._cross(self.state.params, jnp.asarray(x), src=src, dst=dst)
         return self._cross(
             self.state.params, jnp.asarray(x), src=src, dst=dst,
-            cond=jnp.asarray(cond),
+            cond=self._host_cond(cond, int(np.asarray(x).shape[0])),
         )
 
     # -- persistence (reference: tf.train.Saver) ----------------------------

@@ -49,6 +49,16 @@ def normalize_cond(cond, n_cond: int, batch: int) -> np.ndarray:
         )
     c = np.asarray(cond)
     if c.ndim == 1:
+        # 1-D means integer class labels; silently truncating float values
+        # (e.g. a client sending soft scores in the wrong shape) would
+        # one-hot classes the caller never intended.
+        if not np.issubdtype(c.dtype, np.integer):
+            if c.size and not np.all(np.mod(c, 1) == 0):
+                raise ValueError(
+                    "1-D cond must be integer class labels; got float "
+                    f"values {c[:4]!r}... — send one-hot [B, {n_cond}] rows "
+                    "for soft conditions"
+                )
         lab = c.astype(np.int64)
         if lab.size and (lab.min() < 0 or lab.max() >= n_cond):
             raise ValueError(
@@ -63,6 +73,18 @@ def normalize_cond(cond, n_cond: int, batch: int) -> np.ndarray:
     if c.shape[0] != batch:
         raise ValueError(f"cond batch {c.shape[0]} != request batch {batch}")
     return c.astype(np.float32)
+
+
+def check_cond(cond, n_cond: int, batch: int):
+    """THE serving-side condition gate, shared by `serve.Predictor`,
+    `export.ExportedPredictor`, and `serve_http.ModelServer` (so the three
+    surfaces cannot drift): unconditional models reject a stray cond,
+    conditional models require + normalize one."""
+    if n_cond == 0:
+        if cond is not None:
+            raise ValueError("model is unconditional; drop `cond`")
+        return None
+    return normalize_cond(cond, n_cond, batch)
 
 
 def chunked_call(call: Callable, x) -> np.ndarray:

@@ -212,11 +212,8 @@ class ExportedPredictor:
     def _cond(self, cond, batch):
         from vae_assoc_tpu import bucketing
 
-        if not self.cfg.n_cond:
-            if cond is not None:
-                raise ValueError("model is unconditional; drop `cond`")
-            return None
-        return bucketing.normalize_cond(cond, self.cfg.n_cond, batch)
+        # bucketing.check_cond: the ONE serving-side gate (serve/export/http).
+        return bucketing.check_cond(cond, self.cfg.n_cond, batch)
 
     def cross_generate(self, x, src: Union[int, str], dst: Union[int, str],
                        *, cond=None):
@@ -257,8 +254,19 @@ class ExportedPredictor:
 
         xs = list(xs)
         k = len(self.cfg.modalities)
-        if self.cfg.n_cond and len(xs) == k + 1:
+        if self.cfg.n_cond:
+            # Check arity HERE: the exported module was traced with k+1
+            # args, so a missing cond would otherwise surface as an opaque
+            # jax.export arity error instead of this message.
+            if len(xs) != k + 1:
+                raise ValueError(
+                    f"conditional model (n_cond={self.cfg.n_cond}): "
+                    f"transform takes [x_0..x_{k-1}, cond], got {len(xs)} "
+                    "entries"
+                )
             xs[k] = self._cond(xs[k], np.asarray(xs[0]).shape[0])
+        elif len(xs) != k:
+            raise ValueError(f"expected {k} modality inputs, got {len(xs)}")
         return bucketing.chunked_multi_call(
             self._call["transform"],
             [np.asarray(x, np.float32) for x in xs],

@@ -118,12 +118,9 @@ class Predictor:
     # larger than MAX_BUCKET split into MAX_BUCKET-row device calls,
     # smaller ones pad up to a power-of-two bucket.
     def _cond(self, cond, batch):
-        """Normalize the request condition (conditional models only)."""
-        if self.cfg.n_cond == 0:
-            if cond is not None:
-                raise ValueError("model is unconditional; drop `cond`")
-            return None
-        return bucketing.normalize_cond(cond, self.cfg.n_cond, batch)
+        """Normalize the request condition (bucketing.check_cond — the ONE
+        serving-side gate, shared with export/serve_http)."""
+        return bucketing.check_cond(cond, self.cfg.n_cond, batch)
 
     def transform(self, xs: Sequence[np.ndarray]):
         """Per-modality latent means; accepts any batch size. Conditional

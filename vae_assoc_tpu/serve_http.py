@@ -113,17 +113,14 @@ class ModelServer:
         self._httpd = None
 
     def _payload_cond(self, payload: dict, batch: int):
-        """Normalize the optional 'cond' field (conditional models only)."""
+        """Normalize the optional 'cond' field via bucketing.check_cond
+        (the ONE serving-side gate, shared with serve/export)."""
         from vae_assoc_tpu import bucketing
 
-        n_c = self.predictor.cfg.n_cond
-        if not n_c:
-            if payload.get("cond") is not None:
-                raise ValueError("model is unconditional; drop 'cond'")
-            return None
         cond = payload.get("cond")
-        return bucketing.normalize_cond(
-            None if cond is None else np.asarray(cond), n_c, batch
+        return bucketing.check_cond(
+            None if cond is None else np.asarray(cond),
+            self.predictor.cfg.n_cond, batch,
         )
 
     # -- request handling (pure: dict in → (status, dict) out) --------------

@@ -628,8 +628,20 @@ def main(argv=None) -> int:
     if eval_labels is not None and n_eval >= 2:
         # Latent-space recognition (the paper's second metric): LOO k-NN
         # accuracy per modality + cross-modal transfer grids.
+        rec_xs = eval_xs
+        if args.conditional:
+            # Label-blind probe: encoding with the TRUE one-hot would leak
+            # the answer into the latent the k-NN then classifies (an
+            # encoder that just copies the label scores ~1.0). Replace the
+            # condition with the uniform class prior — the only label-free
+            # conditional encoding — so knn_* measures what x alone
+            # carries, comparable to unconditional runs.
+            n_classes = eval_xs[k].shape[1]
+            rec_xs = eval_xs[:k] + [
+                np.full((n_eval, n_classes), 1.0 / n_classes, np.float32)
+            ]
         rec = eval_mod.recognition_accuracy(
-            final_params, eval_xs, np.asarray(eval_labels)[:n_eval], cfg,
+            final_params, rec_xs, np.asarray(eval_labels)[:n_eval], cfg,
             compute_dtype=tc.compute_dtype, use_pallas=tc.use_pallas,
         )
         log.write(**rec)

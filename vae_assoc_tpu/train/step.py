@@ -223,6 +223,14 @@ def objective_weights(tc: TrainConfig, step):
         return None
     if tc.kl_beta < 0:
         raise ValueError(f"kl_beta must be >= 0, got {tc.kl_beta}")
+    if tc.kl_anneal_steps < 0 or tc.assoc_warmup_steps < 0:
+        # A negative horizon would silently disable the ramp ('> 0' guards
+        # below) — a typo'd '-4' must fail loudly, like kl_beta does.
+        raise ValueError(
+            "annealing horizons must be >= 0, got "
+            f"kl_anneal_steps={tc.kl_anneal_steps}, "
+            f"assoc_warmup_steps={tc.assoc_warmup_steps}"
+        )
     u = (step // tc.accum_steps).astype(jnp.float32)
     kl_w = jnp.float32(tc.kl_beta)
     if tc.kl_anneal_steps > 0:
