@@ -28,7 +28,7 @@ from vae_assoc_tpu.ops.resample import normalize_and_flatten, unflatten_trajecto
     jax.jit,
     static_argnames=(
         "n_timesteps", "image_size", "raster_points", "traj_encoding",
-        "rbf_centers",
+        "rbf_centers", "augment",  # AugmentConfig is a hashable frozen dc
     ),
 )
 def featurize_pairs(
@@ -40,9 +40,16 @@ def featurize_pairs(
     raster_points: Optional[int] = None,
     traj_encoding: str = "resample",
     rbf_centers: int = 100,
+    augment=None,
+    augment_key=None,
 ):
     """[B, max_pts, 2] raw strokes → (images [B, size²] in [0,1],
     trajectory features). One fused device program.
+
+    ``augment`` (an `ops.augment.AugmentConfig`) + ``augment_key``: apply
+    per-sample random affine transforms to the RAW strokes first, so both
+    derived modalities see the same deformed geometry (a consistent
+    pair). Augment + resample + rasterize lower into the same program.
 
     traj_encoding selects the trajectory parameterization (SURVEY.md §2.1
     "Trajectory parameterization"):
@@ -57,6 +64,12 @@ def featurize_pairs(
         raise ValueError(
             f"traj_encoding must be 'resample' or 'rbf', got {traj_encoding!r}"
         )
+    if augment is not None:
+        from vae_assoc_tpu.ops.augment import augment_strokes
+
+        if augment_key is None:
+            raise ValueError("augment given but augment_key is None")
+        points = augment_strokes(points, lengths, augment_key, augment)
     if traj_encoding == "rbf":
         from vae_assoc_tpu.ops.rbf import fit_rbf
 
@@ -161,19 +174,31 @@ class PairedDataset:
     def __len__(self):
         return int(self._points.shape[0])
 
-    def features(self):
+    def features(self, *, augment=None, augment_key=None):
         """(images [N, size²], traj features [N, traj_features]) — computed
-        on device, cached."""
+        on device; the clean (unaugmented) result is cached.
+
+        With ``augment`` (an `ops.augment.AugmentConfig`) + ``augment_key``
+        the raw strokes are randomly deformed first and the result is NOT
+        cached — each call with a fresh key is a fresh epoch's view of the
+        data (`train.loop.train_loop`'s refresh_data hook)."""
+        if augment is not None:
+            return self._featurize(augment, augment_key)
         if self._features is None:
-            self._features = featurize_pairs(
-                self._points,
-                self._lengths,
-                n_timesteps=self.n_timesteps,
-                image_size=self.image_size,
-                traj_encoding=self.traj_encoding,
-                rbf_centers=self.rbf_centers,
-            )
+            self._features = self._featurize(None, None)
         return self._features
+
+    def _featurize(self, augment, augment_key):
+        return featurize_pairs(
+            self._points,
+            self._lengths,
+            n_timesteps=self.n_timesteps,
+            image_size=self.image_size,
+            traj_encoding=self.traj_encoding,
+            rbf_centers=self.rbf_centers,
+            augment=augment,
+            augment_key=augment_key,
+        )
 
     def decode_trajectories(self, trajs=None):
         """Trajectory features → [N, T, 2] curves (plotting/robot output).

@@ -69,6 +69,21 @@ def build_argparser() -> argparse.ArgumentParser:
                         "then use the (debiased) EMA weights. Stored in "
                         "the optimizer state, so it checkpoints/resumes "
                         "and shards under every layout automatically")
+    p.add_argument("--augment", action="store_true",
+                   help="per-epoch on-device stroke augmentation: random "
+                        "per-sample rotation/shear/aspect-jitter/point-"
+                        "noise applied to the RAW strokes before "
+                        "featurization, so image and trajectory stay a "
+                        "consistent pair (ops/augment.py). Host-chunked "
+                        "loop only; validation/eval stay on clean data")
+    p.add_argument("--augment-rotate", type=float, default=15.0,
+                   metavar="DEG", help="max |rotation| in degrees")
+    p.add_argument("--augment-shear", type=float, default=0.15)
+    p.add_argument("--augment-scale", type=float, default=0.15,
+                   help="max aspect-ratio jitter (x scaled by 1±this)")
+    p.add_argument("--augment-jitter", type=float, default=0.01,
+                   help="per-point Gaussian noise, relative to each "
+                        "sample's bounding-box extent")
     p.add_argument("--conditional", action="store_true",
                    help="conditional VAE (Sohn et al. 2015): one-hot class "
                         "labels concatenated into every encoder input and "
@@ -394,14 +409,16 @@ def main(argv=None) -> int:
             ))
         except ValueError as e:  # e.g. conv towers reject conditioning
             raise SystemExit(f"--conditional: {e}")
-        data = data + [np.eye(n_classes, dtype=np.float32)[lab]]
+        cond_full = np.eye(n_classes, dtype=np.float32)[lab]
+        data = data + [cond_full]
         print(f"conditional: n_cond={n_classes} classes", flush=True)
     val_data = None
+    train_idx = None
     eval_labels = ds.labels
     if args.val_frac > 0:
         from vae_assoc_tpu.data.pipeline import split_train_val
 
-        data, val_data, (_, val_idx) = split_train_val(
+        data, val_data, (train_idx, val_idx) = split_train_val(
             data, args.val_frac, seed=tc.seed
         )
         if eval_labels is not None:
@@ -499,6 +516,44 @@ def main(argv=None) -> int:
 
     log = MetricsLogger(args.metrics, echo=True, tensorboard_dir=args.tensorboard)
 
+    if args.augment and (mesh is not None or args.fused or args.sweep_seeds):
+        raise SystemExit(
+            "--augment uses the per-epoch host-chunked loop; it does not "
+            "combine with --fused/--mesh/--model-parallel/--fsdp/--zero/"
+            "--sweep-seeds"
+        )
+    aug_refresh_at = None
+    if args.augment:
+        from vae_assoc_tpu.ops.augment import AugmentConfig
+
+        aug_cfg = AugmentConfig(
+            max_rotate=args.augment_rotate,
+            max_shear=args.augment_shear,
+            max_scale=args.augment_scale,
+            point_jitter=args.augment_jitter,
+        )
+        # Deterministic per-GLOBAL-epoch stream: the offset is derived
+        # from state.step inside run(), so it is correct across the
+        # driver's chunked train_loop calls AND across --resume (a fresh
+        # process restores step from the checkpoint).
+        aug_base = jax.random.fold_in(jax.random.key(tc.seed), 0xA46)
+
+        def aug_refresh_at(offset):
+            def refresh(e):
+                key = jax.random.fold_in(aug_base, offset + e)
+                imgs, trajs = ds.features(augment=aug_cfg, augment_key=key)
+                by = {"image": imgs, "trajectory": trajs}
+                fresh = [by[m.name] for m in cfg.modalities]
+                if args.conditional:
+                    fresh.append(cond_full)  # labels don't deform
+                if train_idx is not None:
+                    fresh = [f[np.asarray(train_idx)] for f in fresh]
+                return fresh
+
+            return refresh
+
+        print(f"augment: {aug_cfg}", flush=True)
+
     def run(state, epochs):
         if mesh is not None:
             if mp > 1 and args.fsdp:
@@ -513,7 +568,18 @@ def main(argv=None) -> int:
             return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
-        return train_loop(cfg, tc, data, epochs=epochs, state=state)
+        refresh = None
+        if aug_refresh_at is not None:
+            # Global-epoch offset from the optimizer step (chunk/resume
+            # aware): steps-per-epoch mirrors train_loop's n_calls*spc.
+            spe = max(
+                (data[0].shape[0] // tc.batch_size // tc.steps_per_call)
+                * tc.steps_per_call, 1,
+            )
+            refresh = aug_refresh_at(int(jax.device_get(state.step)) // spe)
+        return train_loop(
+            cfg, tc, data, epochs=epochs, state=state, refresh_data=refresh
+        )
 
     epochs_done = 0
     if args.sweep_seeds:

@@ -58,12 +58,20 @@ def train_loop(
     display_step: int = 1,
     on_metrics: Optional[Callable[[int, dict], None]] = None,
     shuffle: bool = True,
+    refresh_data: Optional[Callable[[int], Sequence]] = None,
 ):
     """Train for `epochs` over paired per-modality arrays.
 
     Args:
       data: list of K host arrays, each [N, n_input_k], paired by row.
       on_metrics: callback(epoch, metrics_dict) every `display_step` epochs.
+      refresh_data: optional callback(epoch_index) -> fresh device arrays
+        with the SAME shapes as `data`, called at each epoch start — the
+        per-epoch data-augmentation hook (`PairedDataset.features(
+        augment=...)`); shapes are static so the gathered-epoch program is
+        reused across refreshes. epoch_index is the loop-local epoch; a
+        chunked caller (the driver) adds its own offset for a
+        deterministic stream across chunks/resume.
 
     Returns (state, history list of per-epoch mean metric dicts).
     """
@@ -99,6 +107,17 @@ def train_loop(
 
     history = []
     for epoch in range(epochs):
+        if refresh_data is not None:
+            fresh = [jnp.asarray(d) for d in refresh_data(epoch)]
+            if any(f.shape != d.shape for f, d in zip(fresh, dev_data)) or (
+                len(fresh) != len(dev_data)
+            ):
+                raise ValueError(
+                    "refresh_data must return arrays with the original "
+                    f"shapes {[d.shape for d in dev_data]}, got "
+                    f"{[f.shape for f in fresh]}"
+                )
+            dev_data = fresh
         perm = (
             shuffle_rng.permutation(n) if shuffle else np.arange(n)
         ).astype(np.int32)
