@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import json
 import os
 import sys
 
@@ -489,6 +490,16 @@ def main(argv=None) -> int:
     elif mp > 1 or args.fsdp or args.zero:
         raise SystemExit(
             "--model-parallel/--fsdp/--zero require --mesh N with N > 1")
+
+    if args.ckpt_dir:
+        # Self-describing checkpoints (the save_model layout): serving
+        # (Predictor.load) and the standalone evaluator (vae-assoc-eval)
+        # reconstruct the model from the directory alone.
+        from vae_assoc_tpu.configs import config_to_dict
+
+        os.makedirs(args.ckpt_dir, exist_ok=True)
+        with open(os.path.join(args.ckpt_dir, "model_config.json"), "w") as f:
+            json.dump(config_to_dict(cfg, tc), f, indent=1)
 
     state = None if args.sweep_seeds else init_train_state(cfg, tc)
     if args.resume:
