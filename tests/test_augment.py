@@ -146,3 +146,24 @@ def test_driver_augment_end_to_end(tmp_path):
     with pytest.raises(SystemExit, match="augment"):
         driver.main(["--config", "3", "--augment", "--fused",
                      "--epochs", "1"])
+
+
+def test_features_key_without_config_raises():
+    ds = PairedDataset.from_synthetic(8, seed=0)
+    with pytest.raises(ValueError, match="augment_key given without"):
+        ds.features(augment_key=jax.random.key(0))
+
+
+def test_subset_matches_full_slice():
+    ds = PairedDataset.from_synthetic(16, seed=0)
+    idx = np.array([1, 3, 5, 8])
+    sub = ds.subset(idx)
+    assert len(sub) == 4
+    np.testing.assert_array_equal(np.asarray(sub.labels),
+                                  np.asarray(ds.labels)[idx])
+    fi, ft = ds.features()
+    si, st = sub.features()
+    np.testing.assert_allclose(np.asarray(si), np.asarray(fi)[idx],
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(ft)[idx],
+                               rtol=1e-6, atol=1e-6)

@@ -73,10 +73,28 @@ def test_eval_cli_errors(tmp_path):
     assert out.returncode != 0 and "model_config.json" in out.stderr
 
     ckpt = _train(tmp_path)
+    # Contradicting the RECORDED featurization fails loudly (the arch
+    # width alone cannot distinguish rbf(100) from resample(100)).
     out = subprocess.run(
         [sys.executable, "-m", "vae_assoc_tpu.evaluate", str(ckpt), "--cpu",
          "--data", "synthetic", "--n-samples", "32",
-         "--traj-encoding", "rbf", "--rbf-centers", "64"],
+         "--traj-encoding", "rbf"],
         env=_env(), capture_output=True, text=True, timeout=900,
     )
-    assert out.returncode != 0 and "width mismatch" in out.stderr
+    assert out.returncode != 0 and "contradicts" in out.stderr
+
+
+def test_eval_cli_rbf_encoding_recorded(tmp_path):
+    """A model trained with --traj-encoding rbf evaluates correctly with
+    NO flags — the featurization comes from model_config.json 'data'."""
+    ckpt = _train(tmp_path, "--traj-encoding", "rbf", "--rbf-centers", "100")
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.evaluate", str(ckpt), "--cpu",
+         "--data", "synthetic", "--n-samples", "48", "--batch-size", "24"],
+        env=_env(), capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert np.isfinite(res["mse_image->trajectory"])
+    # No duplicate unprefixed MSE-grid keys (the '->' filter).
+    assert "image->trajectory" not in res

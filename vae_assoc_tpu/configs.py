@@ -371,6 +371,33 @@ def config_from_dict(d: Mapping) -> tuple:
     return cfg, tc
 
 
+def load_model_config(path: str):
+    """Read a self-describing model directory's ``model_config.json``.
+
+    THE one loader for the save_model layout (api.save_model / the
+    driver's --ckpt-dir), shared by `serve.Predictor.load` and the
+    `vae-assoc-eval` CLI so the contract cannot drift. Returns
+    ``(cfg, tc, raw_dict)`` — raw_dict carries optional extra sections
+    (e.g. ``"data"``: the featurization metadata the driver records).
+    Raises FileNotFoundError with guidance when the file is absent.
+    """
+    import json
+    import os
+
+    path = os.path.abspath(os.path.expanduser(path))
+    cfg_path = os.path.join(path, "model_config.json")
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"no model_config.json under {path} — write the model with "
+            "AssocVariationalAutoEncoder.save_model() or the driver's "
+            "--ckpt-dir (both record the self-describing layout)"
+        )
+    with open(cfg_path) as f:
+        raw = json.load(f)
+    cfg, tc = config_from_dict(raw)
+    return cfg, tc, raw
+
+
 def baseline_config(milestone: int, **overrides):
     """The five BASELINE.json config milestones (lines 7-11).
 

@@ -184,9 +184,35 @@ class PairedDataset:
         data (`train.loop.train_loop`'s refresh_data hook)."""
         if augment is not None:
             return self._featurize(augment, augment_key)
+        if augment_key is not None:
+            raise ValueError(
+                "augment_key given without augment (an AugmentConfig) — "
+                "pass both; a key alone would silently return the cached "
+                "clean features"
+            )
         if self._features is None:
             self._features = self._featurize(None, None)
         return self._features
+
+    def subset(self, idx) -> "PairedDataset":
+        """A new PairedDataset over rows `idx` (same featurization knobs).
+
+        Used by the driver's --augment --val-frac combination: per-epoch
+        augmentation re-featurizes ONLY the training rows instead of the
+        full set (the val rows would be computed and thrown away)."""
+        import numpy as np
+
+        idx = np.asarray(idx)
+        sub = PairedDataset(
+            np.asarray(self._points)[idx],
+            np.asarray(self._lengths)[idx],
+            None if self.labels is None else np.asarray(self.labels)[idx],
+            n_timesteps=self.n_timesteps,
+            image_size=self.image_size,
+            traj_encoding=self.traj_encoding,
+            rbf_centers=self.rbf_centers,
+        )
+        return sub
 
     def _featurize(self, augment, augment_key):
         return featurize_pairs(

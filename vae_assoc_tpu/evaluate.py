@@ -39,10 +39,14 @@ def _build_parser():
                    help="synthetic dataset size")
     p.add_argument("--uji-paths", nargs="+", default=None)
     p.add_argument("--traj-encoding", choices=("resample", "rbf"),
-                   default="resample",
-                   help="must match the encoding the model was trained on "
-                        "(checked against the trajectory arch width)")
-    p.add_argument("--rbf-centers", type=int, default=100)
+                   default=None,
+                   help="default: the encoding recorded in the model dir's "
+                        "model_config.json 'data' section (driver "
+                        "checkpoints record it; the arch width alone can't "
+                        "distinguish rbf(100) from resample(100), both "
+                        "200-wide); an explicit value contradicting the "
+                        "recorded one fails loudly")
+    p.add_argument("--rbf-centers", type=int, default=None)
     p.add_argument("--data-seed", type=int, default=0)
     p.add_argument("--step", type=int, default=None,
                    help="checkpoint step (default: latest)")
@@ -73,28 +77,40 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    from vae_assoc_tpu.configs import config_from_dict
+    from vae_assoc_tpu.configs import load_model_config
     from vae_assoc_tpu.data.pipeline import PairedDataset
     from vae_assoc_tpu.train import eval as eval_mod
     from vae_assoc_tpu.train.step import eval_params, init_train_state
     from vae_assoc_tpu.utils import checkpoint as ckpt
 
     model_dir = os.path.abspath(os.path.expanduser(args.model_dir))
-    cfg_path = os.path.join(model_dir, "model_config.json")
-    if not os.path.exists(cfg_path):
+    try:
+        cfg, tc, raw = load_model_config(model_dir)
+    except FileNotFoundError as e:
+        raise SystemExit(str(e))
+    if tc is None:
+        from vae_assoc_tpu.configs import TrainConfig
+
+        tc = TrainConfig()
+    # Resolve the featurization against what the model was trained on
+    # (recorded by driver checkpoints; the arch width alone is ambiguous —
+    # rbf(100 centers) and resample(100 timesteps) are both 200-wide).
+    meta = raw.get("data", {})
+    enc = args.traj_encoding or meta.get("traj_encoding") or "resample"
+    if (args.traj_encoding and meta.get("traj_encoding")
+            and args.traj_encoding != meta["traj_encoding"]):
         raise SystemExit(
-            f"no model_config.json under {model_dir} — write the model with "
-            "AssocVariationalAutoEncoder.save_model() (or the driver's "
-            "--ckpt-dir, which writes the same layout)"
+            f"--traj-encoding {args.traj_encoding} contradicts the recorded "
+            f"training featurization {meta['traj_encoding']!r} "
+            "(model_config.json 'data')"
         )
-    with open(cfg_path) as f:
-        cfg, tc = config_from_dict(json.load(f))
+    centers = args.rbf_centers or meta.get("rbf_centers") or 100
     state = ckpt.restore(model_dir, init_train_state(cfg, tc), step=args.step)
     # EMA-trained models evaluate on the debiased averaged weights, the
     # same choice the driver makes post-train.
     params = eval_params(tc, state)
 
-    kw = dict(traj_encoding=args.traj_encoding, rbf_centers=args.rbf_centers)
+    kw = dict(traj_encoding=enc, rbf_centers=centers)
     if args.data == "uji":
         if not args.uji_paths:
             raise SystemExit("--data uji requires --uji-paths")
@@ -141,14 +157,15 @@ def main(argv=None) -> int:
     em = eval_mod.eval_metrics(
         params, xs, cfg, batch_size=args.batch_size, seed=args.seed, **ekw
     )
-    result.update({k: float(v) for k, v in em.items()
-                   if not k.startswith("mse_")})
+    # Drop eval_metrics' embedded MSE grid (keys like "image->trajectory")
+    # — the mse_* grid above already reports it under the canonical names.
+    result.update({k: float(v) for k, v in em.items() if "->" not in k})
     if labels is not None and xs[0].shape[0] >= 2:
         n = min(int(xs[0].shape[0]), args.max_samples)
         rec_xs = [x[:n] for x in xs]
         if cfg.n_cond > 0:
             # Label-blind probe (see module docstring / driver).
-            rec_xs[-1] = np.full((n, cfg.n_cond), 1.0 / cfg.n_cond, np.float32)
+            rec_xs[-1] = eval_mod.label_blind_cond(n, cfg.n_cond)
         result.update(eval_mod.recognition_accuracy(
             params, rec_xs, labels[:n], cfg, k=args.knn_k, **ekw
         ))

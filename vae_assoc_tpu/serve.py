@@ -81,22 +81,12 @@ class Predictor:
         config object; compute dtype and kernel choice default to the
         training-time settings (override via **kw).
         """
-        import json
-        import os
+        from vae_assoc_tpu.configs import TrainConfig, load_model_config
 
-        from vae_assoc_tpu.configs import config_from_dict
-
-        cfg_path = os.path.join(
-            os.path.abspath(os.path.expanduser(path)), "model_config.json"
-        )
-        if not os.path.exists(cfg_path):
-            raise FileNotFoundError(
-                f"no model_config.json under {path} — save with "
-                "AssocVariationalAutoEncoder.save_model(), or use "
-                "Predictor.from_checkpoint(path, cfg) for a bare checkpoint"
-            )
-        with open(cfg_path) as f:
-            cfg, tc = config_from_dict(json.load(f))
+        # load_model_config: THE one loader for the save_model layout
+        # (shared with vae-assoc-eval so the contract cannot drift).
+        cfg, tc, _ = load_model_config(path)
+        tc = tc or TrainConfig()
         kw.setdefault("compute_dtype", tc.compute_dtype)
         kw.setdefault("use_pallas", tc.use_pallas)
         return cls.from_checkpoint(path, cfg, train_config=tc, step=step, **kw)

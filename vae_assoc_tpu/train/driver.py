@@ -491,15 +491,29 @@ def main(argv=None) -> int:
         raise SystemExit(
             "--model-parallel/--fsdp/--zero require --mesh N with N > 1")
 
+    cfg_snapshot = None
     if args.ckpt_dir:
         # Self-describing checkpoints (the save_model layout): serving
         # (Predictor.load) and the standalone evaluator (vae-assoc-eval)
-        # reconstruct the model from the directory alone.
+        # reconstruct the model from the directory alone. The "data"
+        # section records the FEATURIZATION the model was trained on —
+        # the arch width alone cannot distinguish rbf(100 centers) from
+        # resample(100 timesteps), both 200-wide.
         from vae_assoc_tpu.configs import config_to_dict
 
-        os.makedirs(args.ckpt_dir, exist_ok=True)
-        with open(os.path.join(args.ckpt_dir, "model_config.json"), "w") as f:
-            json.dump(config_to_dict(cfg, tc), f, indent=1)
+        cfg_snapshot = config_to_dict(cfg, tc)
+        cfg_snapshot["data"] = {
+            "source": args.data,
+            "traj_encoding": args.traj_encoding,
+            "rbf_centers": args.rbf_centers,
+        }
+
+        def _write_cfg(dir_):
+            os.makedirs(dir_, exist_ok=True)
+            with open(os.path.join(dir_, "model_config.json"), "w") as f:
+                json.dump(cfg_snapshot, f, indent=1)
+
+        _write_cfg(args.ckpt_dir)
 
     state = None if args.sweep_seeds else init_train_state(cfg, tc)
     if args.resume:
@@ -548,17 +562,23 @@ def main(argv=None) -> int:
         # driver's chunked train_loop calls AND across --resume (a fresh
         # process restores step from the checkpoint).
         aug_base = jax.random.fold_in(jax.random.key(tc.seed), 0xA46)
+        # With --val-frac, augment only the TRAINING rows (ds.subset):
+        # re-featurizing the full set each epoch would compute the val
+        # rows and throw them away.
+        aug_ds = ds if train_idx is None else ds.subset(train_idx)
+        aug_cond = None
+        if args.conditional:
+            aug_cond = (cond_full if train_idx is None
+                        else cond_full[np.asarray(train_idx)])
 
         def aug_refresh_at(offset):
             def refresh(e):
                 key = jax.random.fold_in(aug_base, offset + e)
-                imgs, trajs = ds.features(augment=aug_cfg, augment_key=key)
+                imgs, trajs = aug_ds.features(augment=aug_cfg, augment_key=key)
                 by = {"image": imgs, "trajectory": trajs}
                 fresh = [by[m.name] for m in cfg.modalities]
-                if args.conditional:
-                    fresh.append(cond_full)  # labels don't deform
-                if train_idx is not None:
-                    fresh = [f[np.asarray(train_idx)] for f in fresh]
+                if aug_cond is not None:
+                    fresh.append(aug_cond)  # labels don't deform
                 return fresh
 
             return refresh
@@ -657,6 +677,9 @@ def main(argv=None) -> int:
             best_val = vm["total"]
             stale = 0
             if args.keep_best:
+                # best/ is the artifact users evaluate/serve most — keep
+                # it self-describing too.
+                _write_cfg(os.path.join(args.ckpt_dir, "best"))
                 ckpt.save(os.path.join(args.ckpt_dir, "best"), state)
                 print(f"new best val_total={vm['total']:.5f} at epoch "
                       f"{epoch}; saved to "
@@ -707,15 +730,13 @@ def main(argv=None) -> int:
         # accuracy per modality + cross-modal transfer grids.
         rec_xs = eval_xs
         if args.conditional:
-            # Label-blind probe: encoding with the TRUE one-hot would leak
-            # the answer into the latent the k-NN then classifies (an
-            # encoder that just copies the label scores ~1.0). Replace the
-            # condition with the uniform class prior — the only label-free
-            # conditional encoding — so knn_* measures what x alone
-            # carries, comparable to unconditional runs.
-            n_classes = eval_xs[k].shape[1]
+            # Label-blind probe (eval_mod.label_blind_cond): encoding with
+            # the TRUE one-hot would leak the answer into the latent the
+            # k-NN then classifies; the uniform class prior is the only
+            # label-free conditional encoding, so knn_* measures what x
+            # alone carries, comparable to unconditional runs.
             rec_xs = eval_xs[:k] + [
-                np.full((n_eval, n_classes), 1.0 / n_classes, np.float32)
+                eval_mod.label_blind_cond(n_eval, eval_xs[k].shape[1])
             ]
         rec = eval_mod.recognition_accuracy(
             final_params, rec_xs, np.asarray(eval_labels)[:n_eval], cfg,

@@ -266,6 +266,16 @@ def marginal_log_likelihood(
     return {key: float(v) for key, v in out.items()}
 
 
+def label_blind_cond(n: int, n_cond: int):
+    """Uniform class-prior condition rows [n, n_cond] — THE label-free
+    probe for recognition metrics on conditional models (shared by the
+    driver and vae-assoc-eval): encoding with the true one-hot would leak
+    the answer into the latent the k-NN then classifies."""
+    import numpy as np
+
+    return np.full((n, n_cond), 1.0 / n_cond, np.float32)
+
+
 def _knn_classify(train_z, train_labels, query_z, n_classes, k, mask_diag):
     """k-NN class prediction on the MXU: one [Q, N] squared-distance matrix
     via ‖a‖² + ‖b‖² − 2a·b (a single matmul), `lax.top_k` neighbors, and a
