@@ -167,3 +167,30 @@ def test_subset_matches_full_slice():
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(np.asarray(st), np.asarray(ft)[idx],
                                rtol=1e-6, atol=1e-6)
+
+
+def test_latent_manifold_canvas():
+    """viz.latent_manifold: one decode call, correct canvas geometry."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from vae_assoc_tpu.utils import viz
+
+    calls = []
+
+    def decode(z):
+        calls.append(np.asarray(z).copy())
+        # Encode z's swept coords into the 'image' so geometry is checkable.
+        return np.clip(0.5 + 0.1 * z[:, :1] + np.zeros((z.shape[0], 784)), 0, 1)
+
+    fig = viz.latent_manifold(decode, grid_n=5, n_z=20, dims=(0, 3))
+    assert len(calls) == 1  # ONE decode for the whole canvas
+    z = calls[0]
+    assert z.shape == (25, 20)
+    # Swept dims take the grid; all other coords stay at the prior mean.
+    assert np.allclose(sorted(set(np.round(z[:, 0], 5))),
+                       np.round(np.linspace(-2, 2, 5), 5))
+    assert np.allclose(z[:, 1], 0) and np.allclose(z[:, 4:], 0)
+    assert fig is not None
+    with pytest.raises(ValueError, match="base"):
+        viz.latent_manifold(decode, n_z=20, base=np.zeros(3))

@@ -786,6 +786,28 @@ def main(argv=None) -> int:
         viz.latent_scatter(np.asarray(zs[0]), labels).savefig(
             os.path.join(args.plots_dir, "latent_scatter.png"), dpi=120
         )
+        if has_image_0:
+            # Metzen-lineage latent-manifold canvas over the first two
+            # latent dims; conditional models decode under the uniform
+            # class prior (a label-free canvas).
+            import jax.numpy as _jnp
+
+            n_z = cfg.n_z
+            gkw = dict(compute_dtype=tc.compute_dtype)
+            if args.conditional:
+                def _decode(z):
+                    c = eval_mod.label_blind_cond(z.shape[0], cfg.n_cond)
+                    return assoc_mod.generate(
+                        final_params, _jnp.asarray(z), cfg, 0,
+                        cond=c, **gkw)
+            else:
+                def _decode(z):
+                    return assoc_mod.generate(
+                        final_params, _jnp.asarray(z), cfg, 0, **gkw)
+
+            viz.latent_manifold(_decode, n_z=n_z).savefig(
+                os.path.join(args.plots_dir, "latent_manifold.png"), dpi=120
+            )
         if k >= 2 and has_image_0:
             gen_traj = np.asarray(
                 assoc_mod.cross_generate(

@@ -89,3 +89,49 @@ def latent_scatter(z, labels: Optional[Sequence[int]] = None, *, dims=(0, 1)):
     ax.set_ylabel(f"z[{dims[1]}]")
     fig.tight_layout()
     return fig
+
+
+def latent_manifold(
+    decode_fn,
+    *,
+    image_size: int = 28,
+    grid_n: int = 15,
+    dims=(0, 1),
+    n_z: int = 20,
+    span: float = 2.0,
+    base=None,
+):
+    """The Metzen-lineage latent-manifold canvas (SURVEY.md §1.1 L4): a
+    grid_n × grid_n sweep over two latent dimensions, each cell decoded
+    to an image and tiled into one canvas.
+
+    decode_fn: z [B, n_z] → images [B, image_size²] in [0, 1] (e.g.
+    ``lambda z: assoc.generate(params, z, cfg, "image")`` or the api/
+    Predictor `generate` verb — any batch-capable decoder; conditional
+    models close over their cond). The swept dims take a uniform grid in
+    [−span, span] (≈±2σ of the N(0, I) prior); the remaining latent
+    coordinates come from `base` (default zeros — the prior mean).
+    ONE decode call for the whole canvas.
+    """
+    plt = _plt()
+    lin = np.linspace(-span, span, grid_n, dtype=np.float32)
+    base = (np.zeros(n_z, np.float32) if base is None
+            else np.asarray(base, np.float32))
+    if base.shape != (n_z,):
+        raise ValueError(f"base must be [{n_z}], got {base.shape}")
+    z = np.tile(base, (grid_n * grid_n, 1))
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    z[:, dims[0]] = gx.ravel()
+    z[:, dims[1]] = -gy.ravel()  # canvas rows top→bottom = dim decreasing
+    imgs = np.asarray(decode_fn(z)).reshape(grid_n, grid_n, image_size,
+                                            image_size)
+    canvas = imgs.transpose(0, 2, 1, 3).reshape(grid_n * image_size,
+                                                grid_n * image_size)
+    fig, ax = plt.subplots(figsize=(6, 6))
+    ax.imshow(canvas, cmap="gray_r", vmin=0, vmax=1)
+    ax.set_xlabel(f"z[{dims[0]}] in [-{span}, {span}]")
+    ax.set_ylabel(f"z[{dims[1]}] in [-{span}, {span}]")
+    ax.set_xticks([])
+    ax.set_yticks([])
+    fig.tight_layout()
+    return fig
