@@ -627,3 +627,48 @@ def test_tp_fsdp_combined_conditional():
     step = make_tp_fsdp_train_step(cfg, tc, mesh)
     state, m = step(state, _batch(b=16))
     assert np.isfinite(float(m["total"]))
+
+
+def test_http_statz_and_exported_server(tmp_path):
+    """GET /statz observability + a conditional AOT artifact duck-typed
+    into ModelServer (no model classes behind the endpoints)."""
+    import json
+    import urllib.request
+
+    from vae_assoc_tpu.export import ExportedPredictor, export_predictor
+    from vae_assoc_tpu.serve_http import ModelServer
+
+    pred, cfg, params = _predictor()
+    out_dir = str(tmp_path / "artifact")
+    export_predictor(pred, out_dir)
+    ep = ExportedPredictor.load(out_dir)
+    server = ModelServer(ep, max_batch=16, min_batch=8, warm=True)
+    port = server.start()
+    try:
+        def get(route):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{route}", timeout=60
+            ) as r:
+                return r.status, json.loads(r.read())
+
+        st, out = get("/statz")
+        assert st == 200
+        assert out["n_cond"] == N_COND and out["min_batch"] == 8
+        d0 = out["dispatches"]
+
+        xs = _batch(b=3)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/cross_generate",
+            data=json.dumps({
+                "inputs": np.asarray(xs[0]).tolist(), "src": 0, "dst": 1,
+                "cond": np.asarray(xs[2]).tolist(),
+            }).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert np.asarray(body["outputs"]).shape == (3, 200)
+        st, out = get("/statz")
+        assert out["dispatches"] == d0 + 1  # one coalesced device dispatch
+    finally:
+        server.close()

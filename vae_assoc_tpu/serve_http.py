@@ -12,6 +12,7 @@ batched device calls exactly like the in-process API
 Endpoints (JSON in / JSON out):
 
   GET  /healthz                  → {"status": "ok", "modalities": [...]}
+  GET  /statz                    → {"dispatches": N, "min_batch": ..., "max_batch": ..., "n_cond": ...}
   POST /v1/transform             {"inputs": [[...], ...] per modality}
                                  → {"latents": [[...], ...] per modality}
   POST /v1/generate              {"latents": [[...]], "modality": "image"}
@@ -241,6 +242,16 @@ class ModelServer:
                         "status": "ok",
                         "modalities": [m.name for m in
                                        server.predictor.cfg.modalities],
+                    })
+                elif self.path == "/statz":
+                    # Serving observability: device-dispatch count (the
+                    # MicroBatcher coalescing effectiveness signal) and
+                    # the bucketing contract a client should aim for.
+                    self._send(200, {
+                        "dispatches": server.batcher.dispatches,
+                        "min_batch": server.batcher.min_batch,
+                        "max_batch": server.batcher.max_batch,
+                        "n_cond": server.predictor.cfg.n_cond,
                     })
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
