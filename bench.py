@@ -59,7 +59,8 @@ def main():
     # adds multi-second latency spikes that would understate steady state.
     state, _ = train_loop_fused(cfg, tc, data, epochs=12, shuffle=True)
     sps = 0.0
-    for _ in range(3):
+    for _ in range(5):  # each repeat ~3 s; the link's latency spikes are
+        # intermittent, so more repeats = a tighter best-of estimate
         state, history = train_loop_fused(
             cfg, tc, data, epochs=12, state=state, shuffle=True
         )

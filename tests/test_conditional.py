@@ -672,3 +672,27 @@ def test_http_statz_and_exported_server(tmp_path):
         assert out["dispatches"] == d0 + 1  # one coalesced device dispatch
     finally:
         server.close()
+
+
+def test_driver_conditional_sweep_combo(tmp_path):
+    """--conditional composes with --sweep-seeds: the trailing cond entry
+    rides the vmapped sweep unchanged (broadcast across the model axis)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "96",
+         "--batch-size", "32", "--epochs", "2", "--conditional",
+         "--sweep-seeds", "2",
+         "--metrics", str(tmp_path / "m.jsonl")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "conditional: n_cond=" in out.stdout
+    assert "mse_image->trajectory" in out.stdout
