@@ -177,5 +177,43 @@ results["zero_mega"] = dict(custom_calls=n_ccz, samples_per_sec=spsz,
 print(f"ZeRO mega: loss {firstz[0]:.2f} -> {lastz[-1]:.2f}, "
       f"{spsz:,.0f} samples/sec")
 
+# Conditional leg (round 3): the DECLARED config-5 Pallas path with a
+# 10-class condition — the WIDENED first-layer kernels (784+10 / 20+10
+# inputs) must compile as Mosaic custom-calls under shard_map vma typing,
+# with the one-hot riding the mesh as the trailing batch entry, and a
+# per-step beta ramp rebuilding the objective inside the shard_map body.
+cfgc, tcc = baseline_config(5, use_pallas=True, kl_anneal_steps=8)
+cfgc = dataclasses.replace(cfgc, modalities=tuple(
+    dataclasses.replace(m, n_cond=10) for m in cfgc.modalities
+))
+statec = init_dp_train_state(cfgc, tcc, mesh)
+stepc = make_dp_train_step(cfgc, tcc, mesh)
+labels = rng.integers(0, 10, (tcc.steps_per_call, tcc.batch_size))
+xsc = shard_batch(
+    mesh,
+    [
+        rng.uniform(0, 1, (tcc.steps_per_call, tcc.batch_size, 784)).astype(np.float32),
+        rng.normal(size=(tcc.steps_per_call, tcc.batch_size, 200)).astype(np.float32),
+        np.eye(10, dtype=np.float32)[labels],
+    ],
+    leading_scan_axis=True,
+)
+hloc = stepc.lower(statec, xsc).compile().as_text()
+n_ccc = hloc.count("tpu_custom_call")
+print(f"conditional DP: {n_ccc} tpu_custom_call sites in compiled HLO")
+assert n_ccc > 0, "conditional DP compiled without Pallas custom-calls"
+statec, mc = stepc(statec, xsc)
+firstc = np.asarray(jax.device_get(mc["total"]), np.float32)
+betas = np.asarray(jax.device_get(mc["kl_beta_eff"]), np.float32)
+assert betas[0] == 0.0 and betas[-1] > betas[0], betas  # the ramp ran
+statec, mc = stepc(statec, xsc)
+lastc = np.asarray(jax.device_get(mc["total"]), np.float32)
+assert np.all(np.isfinite(firstc)) and np.all(np.isfinite(lastc))
+assert float(lastc[-1]) < float(firstc[0]), (firstc, lastc)
+results["conditional"] = dict(custom_calls=n_ccc,
+                              loss_first=float(firstc[0]),
+                              loss_last=float(lastc[-1]))
+print(f"conditional DP: loss {firstc[0]:.2f} -> {lastc[-1]:.2f}")
+
 print("RESULTS", results)
 print("ALL CHECKS PASSED: shard_map x Pallas executed as compiled Mosaic code")
