@@ -111,13 +111,16 @@ class AssocVariationalAutoEncoder:
         check integer labels and one-hot them in numpy BEFORE the jit call.
         Inside a traced program `jax.nn.one_hot` silently zero-encodes an
         out-of-range label — a class-9 request against n_cond=9 would train
-        or decode with a BLANK condition; the serving surfaces reject it
-        (bucketing.normalize_cond), so the model API must too."""
+        or decode with a BLANK condition. bucketing.check_cond is the same
+        gate the serving surfaces use (incl. the clean unconditional-model
+        rejection)."""
         from vae_assoc_tpu import bucketing
 
-        return jnp.asarray(
-            bucketing.normalize_cond(np.asarray(cond), self.config.n_cond, batch)
+        c = bucketing.check_cond(
+            None if cond is None else np.asarray(cond),
+            self.config.n_cond, batch,
         )
+        return None if c is None else jnp.asarray(c)
 
     def _host_xs(self, xs: Sequence) -> list:
         """asarray a batch list, validating a trailing cond entry host-side."""
@@ -176,12 +179,14 @@ class AssocVariationalAutoEncoder:
         """
         from vae_assoc_tpu.models import assoc as _assoc
 
-        xs_split, cond = _assoc.split_cond(self._host_xs(xs), self.config)
+        xs_norm = self._host_xs(xs)
+        xs_split, cond = _assoc.split_cond(xs_norm, self.config)
         if not sample:
-            # Explicit parent call: the single-modality subclass overrides
-            # transform() with an unpacked (X, cond) signature, so a
-            # polymorphic self.transform(list) would mis-dispatch.
-            zs = AssocVariationalAutoEncoder.transform(self, xs)
+            # The private jitted transform with the already-normalized
+            # list (NOT self.transform: the single-modality subclass
+            # overrides it with an unpacked (X, cond) signature, and
+            # re-entering the public verb would re-normalize).
+            zs = self._transform(self.state.params, xs_norm)
             return tuple(
                 self._generate(self.state.params, z, modality=i)
                 if cond is None

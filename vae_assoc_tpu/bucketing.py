@@ -87,6 +87,19 @@ def check_cond(cond, n_cond: int, batch: int):
     return normalize_cond(cond, n_cond, batch)
 
 
+def chunked_cond_call(call2: Callable, x, cond) -> np.ndarray:
+    """`chunked_call` for a two-input (x, cond) endpoint; cond=None routes
+    to the single-input path. Shared by serve.Predictor and
+    export.ExportedPredictor's conditional endpoints (one pattern, not
+    four copies)."""
+    if cond is None:
+        return chunked_call(lambda xp: call2(xp, None), x)
+    (out,) = chunked_multi_call(
+        lambda ps: (call2(ps[0], ps[1]),), [np.asarray(x), cond]
+    )
+    return out
+
+
 def chunked_call(call: Callable, x) -> np.ndarray:
     """Run a single-input row-wise endpoint at any batch size.
 

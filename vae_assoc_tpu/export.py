@@ -224,12 +224,9 @@ class ExportedPredictor:
         x = np.asarray(x, np.float32)
         cond = self._cond(cond, x.shape[0])
         call = self._call[f"cross_generate_{src}_{dst}"]
-        if cond is None:
-            return bucketing.chunked_call(call, x)
-        (out,) = bucketing.chunked_multi_call(
-            lambda ps: (call(*ps),), [x, cond]
+        return bucketing.chunked_cond_call(
+            lambda xp, cp: call(xp) if cp is None else call(xp, cp), x, cond
         )
-        return out
 
     def reconstruct(self, x, modality: Union[int, str], *, cond=None):
         i = self.cfg.modality_index(modality)
@@ -242,12 +239,9 @@ class ExportedPredictor:
         z = np.asarray(z, np.float32)
         cond = self._cond(cond, z.shape[0])
         call = self._call[f"generate_{j}"]
-        if cond is None:
-            return bucketing.chunked_call(call, z)
-        (out,) = bucketing.chunked_multi_call(
-            lambda ps: (call(*ps),), [z, cond]
+        return bucketing.chunked_cond_call(
+            lambda zp, cp: call(zp) if cp is None else call(zp, cp), z, cond
         )
-        return out
 
     def transform(self, xs: Sequence[np.ndarray]):
         from vae_assoc_tpu import bucketing

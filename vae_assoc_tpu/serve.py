@@ -131,16 +131,16 @@ class Predictor:
         # compile on the first name-addressed request.
         modality = self.cfg.modality_index(modality)
         cond = self._cond(cond, np.asarray(z).shape[0])
-        if cond is None:
-            return bucketing.chunked_call(
-                lambda zp: self._generate(self.params, zp, modality=modality), z
-            )
-        (out,) = bucketing.chunked_multi_call(
-            lambda ps: (self._generate(
-                self.params, ps[0], modality=modality, cond=ps[1]),),
-            [np.asarray(z), cond],
+        # The two spellings below stay distinct on purpose: the warmed
+        # unconditional programs were traced WITHOUT the cond kwarg.
+        return bucketing.chunked_cond_call(
+            lambda zp, cp: (
+                self._generate(self.params, zp, modality=modality)
+                if cp is None
+                else self._generate(self.params, zp, modality=modality, cond=cp)
+            ),
+            z, cond,
         )
-        return out
 
     def reconstruct(self, x, modality: Union[int, str], *, cond=None):
         i = self.cfg.modality_index(modality)
@@ -151,16 +151,14 @@ class Predictor:
         src = self.cfg.modality_index(src)  # see generate(): names → indices
         dst = self.cfg.modality_index(dst)
         cond = self._cond(cond, np.asarray(x).shape[0])
-        if cond is None:
-            return bucketing.chunked_call(
-                lambda xp: self._cross(self.params, xp, src=src, dst=dst), x
-            )
-        (out,) = bucketing.chunked_multi_call(
-            lambda ps: (self._cross(
-                self.params, ps[0], src=src, dst=dst, cond=ps[1]),),
-            [np.asarray(x), cond],
+        return bucketing.chunked_cond_call(
+            lambda xp, cp: (
+                self._cross(self.params, xp, src=src, dst=dst)
+                if cp is None
+                else self._cross(self.params, xp, src=src, dst=dst, cond=cp)
+            ),
+            x, cond,
         )
-        return out
 
     def warmup(self, buckets: Sequence[int] = (64, 256, 1024), *,
                all_endpoints: bool = False) -> None:
