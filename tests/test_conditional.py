@@ -696,3 +696,43 @@ def test_driver_conditional_sweep_combo(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     assert "conditional: n_cond=" in out.stdout
     assert "mse_image->trajectory" in out.stdout
+
+
+def test_class_generation_grid_and_driver_plot(tmp_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from vae_assoc_tpu.utils import viz
+
+    calls = []
+
+    def decode(lab):
+        calls.append(np.asarray(lab).copy())
+        return np.clip(0.1 * lab[:, None] + np.zeros((lab.shape[0], 784)), 0, 1)
+
+    fig = viz.class_generation_grid(decode, 3, samples_per_class=4)
+    assert len(calls) == 1 and calls[0].shape == (12,)
+    np.testing.assert_array_equal(calls[0], np.repeat(np.arange(3), 4))
+    assert fig is not None
+
+    # Driver --conditional writes the grid.
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    plots = tmp_path / "plots"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "64",
+         "--batch-size", "32", "--epochs", "1", "--conditional",
+         "--plots-dir", str(plots),
+         "--metrics", str(tmp_path / "m.jsonl")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert (plots / "class_generation.png").exists()
+    assert (plots / "latent_manifold.png").exists()

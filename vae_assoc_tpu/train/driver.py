@@ -808,6 +808,27 @@ def main(argv=None) -> int:
             viz.latent_manifold(_decode, n_z=n_z).savefig(
                 os.path.join(args.plots_dir, "latent_manifold.png"), dpi=120
             )
+            if args.conditional:
+                # Per-class generation grid: p(x|c) from the prior, no
+                # exemplar — the conditional model's product feature.
+                # The SAME z rows repeat across classes so columns are
+                # comparable; only the condition varies per row.
+                spc_ = 8
+                z_rows = np.asarray(jax.random.normal(
+                    jax.random.key(tc.seed + 2), (spc_, n_z), jnp.float32))
+
+                def _decode_cls(lab):
+                    z = _jnp.asarray(np.tile(z_rows, (cfg.n_cond, 1)))
+                    return assoc_mod.generate(
+                        final_params, z, cfg, 0, cond=_jnp.asarray(lab),
+                        **gkw)
+
+                viz.class_generation_grid(
+                    _decode_cls, cfg.n_cond, samples_per_class=spc_
+                ).savefig(
+                    os.path.join(args.plots_dir, "class_generation.png"),
+                    dpi=120,
+                )
         if k >= 2 and has_image_0:
             gen_traj = np.asarray(
                 assoc_mod.cross_generate(

@@ -135,3 +135,40 @@ def latent_manifold(
     ax.set_yticks([])
     fig.tight_layout()
     return fig
+
+
+def class_generation_grid(
+    decode_fn,
+    n_classes: int,
+    *,
+    samples_per_class: int = 8,
+    image_size: int = 28,
+):
+    """Conditional-generation showcase: rows = classes, columns = prior
+    samples — p(x | c) with NO exemplar input (the conditional VAE's
+    product feature).
+
+    decode_fn: labels [B] int32 → images [B, image_size²] in [0, 1] —
+    the caller closes over its model and z-draw policy (e.g.
+    ``lambda lab: assoc.generate(params, z_draws, cfg, "image",
+    cond=lab)``). For a column-comparable figure, draw
+    ``samples_per_class`` z rows once and tile them per class so column j
+    varies only by condition. ONE decode call total.
+    """
+    plt = _plt()
+    labels = np.repeat(np.arange(n_classes), samples_per_class).astype(np.int32)
+    imgs = np.asarray(decode_fn(labels)).reshape(
+        n_classes, samples_per_class, image_size, image_size
+    )
+    canvas = imgs.transpose(0, 2, 1, 3).reshape(
+        n_classes * image_size, samples_per_class * image_size
+    )
+    fig, ax = plt.subplots(figsize=(samples_per_class * 0.8, n_classes * 0.8))
+    ax.imshow(canvas, cmap="gray_r", vmin=0, vmax=1)
+    ax.set_ylabel("class (condition)")
+    ax.set_xlabel("prior samples")
+    ax.set_xticks([])
+    ax.set_yticks([(i + 0.5) * image_size for i in range(n_classes)],
+                  [str(i) for i in range(n_classes)])
+    fig.tight_layout()
+    return fig
