@@ -14,6 +14,7 @@ The five driver-defined build configs (BASELINE.json:7-11) are exposed as
 from __future__ import annotations
 
 import dataclasses
+import re
 from typing import Any, Iterator, Mapping, Sequence
 
 import jax
@@ -54,7 +55,11 @@ class FrozenDict(Mapping):
         return f"FrozenDict({self._d!r})"
 
 # Architecture-dict keys, mirroring the reference constructor API
-# (SURVEY.md §1.1 L2a: `network_architecture` dict).
+# (SURVEY.md §1.1 L2a: `network_architecture` dict). The reference's dicts
+# have exactly two hidden layers per net; the rebuild additionally accepts
+# deeper stacks via contiguous ``n_hidden_recog_3``, ``n_hidden_gener_3``, …
+# keys (the natural extension of the same naming scheme) — see
+# :func:`validate_arch`.
 ARCH_KEYS = (
     "n_input",
     "n_z",
@@ -64,17 +69,70 @@ ARCH_KEYS = (
     "n_hidden_gener_2",
 )
 
+_HIDDEN_KEY_RE = re.compile(r"^n_hidden_(recog|gener)_([1-9]\d*)$")
+
 
 def validate_arch(arch: Mapping[str, int]) -> FrozenDict:
-    """Validate an architecture dict; returns an immutable hashable copy."""
-    missing = [k for k in ARCH_KEYS if k not in arch]
+    """Validate an architecture dict; returns an immutable hashable copy.
+
+    Accepts the reference's exact key set plus deeper stacks: any number of
+    ``n_hidden_recog_k`` / ``n_hidden_gener_k`` keys as long as each family
+    is contiguous from 1 (a dict with ``_1`` and ``_3`` but no ``_2`` is a
+    typo, not a 2-layer net — rejected loudly, as are unrecognized keys,
+    which earlier versions silently dropped). Recognition and generator
+    depths may differ; each needs at least one hidden layer.
+    """
+    hidden = {"recog": {}, "gener": {}}
+    out = {}
+    for k in arch:
+        if k in ("n_input", "n_z"):
+            out[k] = int(arch[k])
+            continue
+        m = _HIDDEN_KEY_RE.match(k)
+        if not m:
+            raise ValueError(
+                f"unrecognized architecture key {k!r}; expected n_input, "
+                "n_z, and contiguous n_hidden_recog_k / n_hidden_gener_k"
+            )
+        hidden[m.group(1)][int(m.group(2))] = int(arch[k])
+    missing = [k for k in ("n_input", "n_z") if k not in out]
     if missing:
         raise ValueError(f"architecture dict missing keys: {missing}")
-    out = {k: int(arch[k]) for k in ARCH_KEYS}
+    for net, layers in hidden.items():
+        if not layers:
+            raise ValueError(f"architecture dict has no n_hidden_{net}_* keys")
+        depth = max(layers)
+        want = list(range(1, depth + 1))
+        if sorted(layers) != want:
+            raise ValueError(
+                f"n_hidden_{net}_* keys must be contiguous from 1; got "
+                f"layers {sorted(layers)}"
+            )
+        for k in want:
+            out[f"n_hidden_{net}_{k}"] = layers[k]
     for k, v in out.items():
         if v <= 0:
             raise ValueError(f"architecture dim {k}={v} must be positive")
     return FrozenDict(out)
+
+
+def _hidden_widths(arch: Mapping[str, int], net: str) -> tuple:
+    widths = []
+    k = 1
+    while f"n_hidden_{net}_{k}" in arch:
+        widths.append(int(arch[f"n_hidden_{net}_{k}"]))
+        k += 1
+    return tuple(widths)
+
+
+def recog_widths(arch: Mapping[str, int]) -> tuple:
+    """Hidden-layer widths of the recognition net, in forward order."""
+    return _hidden_widths(arch, "recog")
+
+
+def gener_widths(arch: Mapping[str, int]) -> tuple:
+    """Hidden-layer widths of the generator net, in forward order."""
+    return _hidden_widths(arch, "gener")
 
 
 # The reference constructor's `transfer_fct` knob (SURVEY.md §1.1 L2a),
@@ -91,33 +149,38 @@ TRANSFER_FNS = {
 }
 
 
-def default_image_arch(n_z: int = 20, hidden: int = 500) -> dict:
-    """28x28 grayscale character image branch (BASELINE.json:7)."""
-    return dict(
-        n_input=784,
-        n_z=n_z,
-        n_hidden_recog_1=hidden,
-        n_hidden_recog_2=hidden,
-        n_hidden_gener_1=hidden,
-        n_hidden_gener_2=hidden,
-    )
+def _hidden_keys(hidden: int, depth: int) -> dict:
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    out = {}
+    for k in range(1, depth + 1):
+        out[f"n_hidden_recog_{k}"] = hidden
+        out[f"n_hidden_gener_{k}"] = hidden
+    return out
+
+
+def default_image_arch(n_z: int = 20, hidden: int = 500, depth: int = 2) -> dict:
+    """28x28 grayscale character image branch (BASELINE.json:7).
+
+    ``depth`` hidden layers per net (2 = the reference architecture)."""
+    return dict(n_input=784, n_z=n_z, **_hidden_keys(hidden, depth))
 
 
 def default_traj_arch(
-    n_dims: int = 2, n_timesteps: int = 100, n_z: int = 20, hidden: int = 500
+    n_dims: int = 2,
+    n_timesteps: int = 100,
+    n_z: int = 20,
+    hidden: int = 500,
+    depth: int = 2,
 ) -> dict:
     """Fixed-length flattened pen-stroke trajectory branch (BASELINE.json:8).
 
     Raw variable-length strokes are resampled to ``n_timesteps`` points and
     flattened (x0, y0, x1, y1, ...) before entering the model.
+    ``depth`` hidden layers per net (2 = the reference architecture).
     """
     return dict(
-        n_input=n_dims * n_timesteps,
-        n_z=n_z,
-        n_hidden_recog_1=hidden,
-        n_hidden_recog_2=hidden,
-        n_hidden_gener_1=hidden,
-        n_hidden_gener_2=hidden,
+        n_input=n_dims * n_timesteps, n_z=n_z, **_hidden_keys(hidden, depth)
     )
 
 
@@ -164,6 +227,16 @@ class ModalityConfig:
             raise ValueError(f"unknown encoder type: {self.encoder!r}")
         if self.encoder.startswith("conv") and self.arch["n_input"] != 784:
             raise ValueError("conv encoder requires 28x28 (n_input=784) input")
+        if self.encoder.startswith("conv") and (
+            len(recog_widths(self.arch)) != 2 or len(gener_widths(self.arch)) != 2
+        ):
+            # The conv tower has a fixed conv1/conv2/dense geometry that
+            # reads n_hidden_recog_2 / n_hidden_gener_1 (models/conv.py);
+            # deep arch dicts are an MLP-tower feature.
+            raise ValueError(
+                "conv encoders use the fixed 2-hidden-layer arch-dict shape; "
+                "deeper stacks are supported by encoder='mlp' only"
+            )
         if self.n_cond < 0:
             raise ValueError(f"n_cond must be >= 0, got {self.n_cond}")
         if self.n_cond > 0 and self.encoder != "mlp":

@@ -124,14 +124,18 @@ def assoc_loss_fn(
     """
     xs, cond = split_cond(xs, cfg, cond)
     if use_pallas == "mega" and not parity_mode:
-        # The tower megakernel implements the MLP/softplus tower only
-        # (and its decoder consumes the latent inside the kernel, so the
-        # conditional concat has no insertion point). Mirror vae._net_fns'
-        # fallback semantics: a conv modality, a non-softplus transfer, or
-        # conditioning routes the whole loss through the composable-kernel
-        # path, which itself falls back per modality.
+        # The tower megakernel implements the reference's depth-2
+        # MLP/softplus tower only (and its decoder consumes the latent
+        # inside the kernel, so the conditional concat has no insertion
+        # point). Mirror vae._net_fns' fallback semantics: a conv modality,
+        # a non-softplus transfer, conditioning, or a deeper arch dict
+        # routes the whole loss through the composable-kernel path, which
+        # is depth-generic and itself falls back per modality.
+        from vae_assoc_tpu.configs import gener_widths, recog_widths
+
         if all(
             m.encoder == "mlp" and m.transfer == "softplus" and m.n_cond == 0
+            and len(recog_widths(m.arch)) == 2 and len(gener_widths(m.arch)) == 2
             for m in cfg.modalities
         ):
             return _assoc_loss_mega(

@@ -1,9 +1,12 @@
 """MLP recognition/generator networks as pure pytree functions.
 
-Architecture (SURVEY.md §2.1 "Single-modality VAE"): a 2-hidden-layer
-softplus MLP recognition net producing (z_mean, z_logvar) via two linear
-heads, and a mirrored 2-hidden-layer generator net producing decoder output
-(sigmoid logits for Bernoulli images, linear for real-valued trajectories).
+Architecture (SURVEY.md §2.1 "Single-modality VAE"): a softplus MLP
+recognition net producing (z_mean, z_logvar) via two linear heads, and a
+mirrored generator net producing decoder output (sigmoid logits for
+Bernoulli images, linear for real-valued trajectories). The reference has
+exactly 2 hidden layers per net; the rebuild accepts any depth via the
+arch dict's contiguous ``n_hidden_{recog,gener}_k`` keys
+(configs.validate_arch) — depth 2 reproduces the reference bit-for-bit.
 Weights are Xavier/Glorot-uniform initialized (the reference's
 `xavier_init`: U(±sqrt(6/(fan_in+fan_out)))), biases zero.
 
@@ -43,8 +46,14 @@ def init_mlp_vae_params(
     """Initialize one modality's recognition + generator stacks.
 
     Returns
-      {"recog": {h1, h2, out_mean, out_logvar}, "gener": {h1, h2, out}}
-    with each leaf a {"w": [in,out], "b": [out]} linear layer.
+      {"recog": {h1..hL, out_mean, out_logvar}, "gener": {h1..hL, out}}
+    with each leaf a {"w": [in,out], "b": [out]} linear layer. Depth comes
+    from the arch dict's contiguous ``n_hidden_recog_k`` /
+    ``n_hidden_gener_k`` keys (configs.validate_arch) — 2 layers per net is
+    the reference architecture, and at depth 2 this function is
+    bit-identical to the original fixed-depth version (same key-split count
+    and assignment order), so existing checkpoints and the bitwise-parity
+    golden values are unchanged.
 
     ``n_cond > 0`` (conditional VAE, configs.ModalityConfig.n_cond) widens
     the first recognition layer to ``n_input + n_cond`` and the first
@@ -53,23 +62,37 @@ def init_mlp_vae_params(
     (jnp and the fused Pallas kernels, which read widths from the param
     shapes) works unchanged.
     """
+    from vae_assoc_tpu.configs import gener_widths, recog_widths
+
     n_in, n_z = arch["n_input"], arch["n_z"]
-    r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
-    g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
-    ks = jax.random.split(key, 7)
-    return {
-        "recog": {
-            "h1": _init_linear(ks[0], n_in + n_cond, r1, dtype),
-            "h2": _init_linear(ks[1], r1, r2, dtype),
-            "out_mean": _init_linear(ks[2], r2, n_z, dtype),
-            "out_logvar": _init_linear(ks[3], r2, n_z, dtype),
-        },
-        "gener": {
-            "h1": _init_linear(ks[4], n_z + n_cond, g1, dtype),
-            "h2": _init_linear(ks[5], g1, g2, dtype),
-            "out": _init_linear(ks[6], g2, n_in, dtype),
-        },
-    }
+    rw, gw = recog_widths(arch), gener_widths(arch)
+    ks = iter(jax.random.split(key, len(rw) + len(gw) + 3))
+    recog = {}
+    prev = n_in + n_cond
+    for i, width in enumerate(rw, 1):
+        recog[f"h{i}"] = _init_linear(next(ks), prev, width, dtype)
+        prev = width
+    recog["out_mean"] = _init_linear(next(ks), prev, n_z, dtype)
+    recog["out_logvar"] = _init_linear(next(ks), prev, n_z, dtype)
+    gener = {}
+    prev = n_z + n_cond
+    for i, width in enumerate(gw, 1):
+        gener[f"h{i}"] = _init_linear(next(ks), prev, width, dtype)
+        prev = width
+    gener["out"] = _init_linear(next(ks), prev, n_in, dtype)
+    return {"recog": recog, "gener": gener}
+
+
+def hidden_layers(net_params: dict) -> list:
+    """The ``h1..hL`` layer dicts of one net, in forward order.
+
+    Numeric order, not lexicographic (h10 sorts after h9)."""
+    out = []
+    i = 1
+    while f"h{i}" in net_params:
+        out.append(net_params[f"h{i}"])
+        i += 1
+    return out
 
 
 def matmul_precision(compute_dtype):
@@ -114,10 +137,11 @@ def _linear(p, x, compute_dtype):
 def encode_mlp(params: dict, x, *, compute_dtype=jnp.float32, transfer=jax.nn.softplus):
     """Recognition network: x → (z_mean, z_logvar), both fp32 [batch, n_z]."""
     r = params["recog"]
-    h1 = transfer(_linear(r["h1"], x, compute_dtype))
-    h2 = transfer(_linear(r["h2"], h1, compute_dtype))
-    z_mean = _linear(r["out_mean"], h2, compute_dtype)
-    z_logvar = _linear(r["out_logvar"], h2, compute_dtype)
+    h = x
+    for layer in hidden_layers(r):
+        h = transfer(_linear(layer, h, compute_dtype))
+    z_mean = _linear(r["out_mean"], h, compute_dtype)
+    z_logvar = _linear(r["out_logvar"], h, compute_dtype)
     return z_mean, z_logvar
 
 
@@ -129,6 +153,7 @@ def decode_mlp(params: dict, z, *, compute_dtype=jnp.float32, transfer=jax.nn.so
     pixel means). For Gaussian modalities it is the reconstruction itself.
     """
     g = params["gener"]
-    h1 = transfer(_linear(g["h1"], z, compute_dtype))
-    h2 = transfer(_linear(g["h2"], h1, compute_dtype))
-    return _linear(g["out"], h2, compute_dtype)
+    h = z
+    for layer in hidden_layers(g):
+        h = transfer(_linear(layer, h, compute_dtype))
+    return _linear(g["out"], h, compute_dtype)

@@ -84,28 +84,30 @@ def fsdp_param_specs(
                 return {"w": P(*spec), "b": P()}
         return {"w": P(), "b": P()}
 
+    def mlp_stack(first: int, widths) -> dict:
+        specs = {}
+        prev = first
+        for k, width in enumerate(widths, 1):
+            specs[f"h{k}"] = lin(prev, width)
+            prev = width
+        return specs
+
     def mlp_tower(m) -> dict:
+        from vae_assoc_tpu.configs import gener_widths, recog_widths
+
         arch = m.arch
         n_in, n_z = arch["n_input"], arch["n_z"]
-        r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
-        g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+        rw, gw = recog_widths(arch), gener_widths(arch)
         # Conditional models widen the first layer of each net by n_cond
         # (networks.init_mlp_vae_params) — divisibility must be decided on
         # the STORED widths, or the spec would claim a shardable dim the
         # real array cannot split (e.g. 784 % 8 == 0 but 788 % 8 != 0).
-        return {
-            "recog": {
-                "h1": lin(n_in + m.n_cond, r1),
-                "h2": lin(r1, r2),
-                "out_mean": lin(r2, n_z),
-                "out_logvar": lin(r2, n_z),
-            },
-            "gener": {
-                "h1": lin(n_z + m.n_cond, g1),
-                "h2": lin(g1, g2),
-                "out": lin(g2, n_in),
-            },
-        }
+        recog = mlp_stack(n_in + m.n_cond, rw)
+        recog["out_mean"] = lin(rw[-1], n_z)
+        recog["out_logvar"] = lin(rw[-1], n_z)
+        gener = mlp_stack(n_z + m.n_cond, gw)
+        gener["out"] = lin(gw[-1], n_in)
+        return {"recog": recog, "gener": gener}
 
     def conv_tower(arch) -> dict:
         # Mirrors models.conv.init_conv_vae_params (C1/C2/_FLAT constants).

@@ -89,16 +89,26 @@ def tp_param_specs(cfg: AssocConfig, axis: str = mesh_mod.MODEL_AXIS) -> dict:
     # tree-structure mismatch instead of the guidance message.
     _check_gspmd_encoders(cfg, "TP")
 
-    def tower() -> dict:
+    def mlp_stack(depth: int) -> dict:
+        # Megatron pairing generalized to any depth: odd layers
+        # column-parallel, even layers row-parallel — each (col, row) pair
+        # costs ONE all-reduce and keeps activations replicated between
+        # pairs. An odd final layer leaves its activation feature-sharded;
+        # the partitioner all-gathers it before the replicated heads.
         return {
-            "recog": {
-                "h1": _col(axis),
-                "h2": _row(axis),
-                "out_mean": _REPL,
-                "out_logvar": _REPL,
-            },
-            "gener": {"h1": _col(axis), "h2": _row(axis), "out": _REPL},
+            f"h{k}": _col(axis) if k % 2 else _row(axis)
+            for k in range(1, depth + 1)
         }
+
+    def tower(m) -> dict:
+        from vae_assoc_tpu.configs import gener_widths, recog_widths
+
+        recog = mlp_stack(len(recog_widths(m.arch)))
+        recog["out_mean"] = _REPL
+        recog["out_logvar"] = _REPL
+        gener = mlp_stack(len(gener_widths(m.arch)))
+        gener["out"] = _REPL
+        return {"recog": recog, "gener": gener}
 
     def conv_tower() -> dict:
         cout_split = {"w": P(None, None, None, axis), "b": P(axis)}
@@ -121,7 +131,7 @@ def tp_param_specs(cfg: AssocConfig, axis: str = mesh_mod.MODEL_AXIS) -> dict:
 
     return {
         "modalities": tuple(
-            conv_tower() if m.encoder == "conv" else tower()
+            conv_tower() if m.encoder == "conv" else tower(m)
             for m in cfg.modalities
         )
     }

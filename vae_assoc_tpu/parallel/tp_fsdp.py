@@ -84,26 +84,31 @@ def tp_fsdp_param_specs(
                 }
         return {"w": P(), "b": P()}
 
+    def mlp_stack(first: int, widths) -> dict:
+        # Megatron alternation (tp.tp_param_specs.mlp_stack) with the
+        # spare dim sharded over `data`: odd layers col(input dim), even
+        # layers row(output dim).
+        specs = {}
+        prev = first
+        for k, width in enumerate(widths, 1):
+            specs[f"h{k}"] = col(prev) if k % 2 else row(width)
+            prev = width
+        return specs
+
     def tower(m) -> dict:
+        from vae_assoc_tpu.configs import gener_widths, recog_widths
+
         arch = m.arch
         n_in, n_z = arch["n_input"], arch["n_z"]
-        r1, r2 = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
-        g1, g2 = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+        rw, gw = recog_widths(arch), gener_widths(arch)
         # h1 input widths are the STORED (conditional-widened) dims — see
         # fsdp.fsdp_param_specs.mlp_tower.
-        return {
-            "recog": {
-                "h1": col(n_in + m.n_cond),
-                "h2": row(r2),
-                "out_mean": head(r2, n_z),
-                "out_logvar": head(r2, n_z),
-            },
-            "gener": {
-                "h1": col(n_z + m.n_cond),
-                "h2": row(g2),
-                "out": head(g2, n_in),
-            },
-        }
+        recog = mlp_stack(n_in + m.n_cond, rw)
+        recog["out_mean"] = head(rw[-1], n_z)
+        recog["out_logvar"] = head(rw[-1], n_z)
+        gener = mlp_stack(n_z + m.n_cond, gw)
+        gener["out"] = head(gw[-1], n_in)
+        return {"recog": recog, "gener": gener}
 
     def conv_tower(arch) -> dict:
         # TP channel splits (tp.tp_param_specs conv pattern) + `data` on

@@ -101,6 +101,14 @@ def build_argparser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="linear 0->assoc_lambda ramp of the association "
                         "term over N optimizer updates")
+    p.add_argument("--depth", type=int, default=None, metavar="L",
+                   help="hidden layers per MLP net (default 2 = the "
+                        "reference architecture). Deeper stacks run the "
+                        "depth-generic fused kernels and shard under every "
+                        "layout; conv towers are fixed at 2")
+    p.add_argument("--hidden", type=int, default=None, metavar="H",
+                   help="hidden-layer width for the MLP towers "
+                        "(default 500)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 MXU-pass matmul policy (fp32 accumulation)")
@@ -173,6 +181,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "instead of replicating them; combine with "
                         "--model-parallel K for the TP×FSDP layout "
                         "(parallel/tp_fsdp.py)")
+    p.add_argument("--pipeline", type=int, default=0, metavar="S",
+                   help="GPipe pipeline parallelism over S stage devices "
+                        "(parallel/pp.py): deep uniform-width MLP towers "
+                        "(--depth L with (L-1) divisible by S), batches "
+                        "replicated, middle layers h2..hL stage-sharded, "
+                        "activations ride ppermute. Mutually exclusive "
+                        "with --mesh/--model-parallel/--fsdp/--zero/--fused")
     p.add_argument("--zero", action="store_true",
                    help="with --mesh N, ZeRO-shard params + optimizer state "
                         "over the data axis via shard_map (parallel/zero.py: "
@@ -321,7 +336,46 @@ def main(argv=None) -> int:
             raise SystemExit("--model-parallel/--fsdp run the jnp model "
                              "path (no --use-pallas)")
         overrides["use_pallas"] = False
+    if args.pipeline:
+        if args.pipeline < 2:
+            raise SystemExit("--pipeline needs S >= 2 stages")
+        if (args.mesh or args.model_parallel > 1 or args.fsdp or args.zero
+                or args.fused):
+            raise SystemExit(
+                "--pipeline owns the whole layout (a 1-D shard_map stage "
+                "mesh); it cannot combine with --mesh/--model-parallel/"
+                "--fsdp/--zero/--fused"
+            )
+        # Same config-vs-flag trap as --fsdp above: check_pp rejects
+        # use_pallas, and config 5 defaults it True.
+        if args.use_pallas:
+            raise SystemExit("--pipeline runs the jnp model path "
+                             "(no --use-pallas)")
+        overrides["use_pallas"] = False
     cfg, tc = baseline_config(args.config, **overrides)
+    if args.depth is not None or args.hidden is not None:
+        if args.depth is not None and args.depth < 1:
+            raise SystemExit("--depth must be >= 1")
+
+        def _resize(m):
+            if m.encoder != "mlp":
+                if args.depth not in (None, 2):
+                    raise SystemExit(
+                        "--depth: conv towers are fixed at 2 hidden layers "
+                        "(configs.ModalityConfig); use the MLP configs"
+                    )
+                return m  # conv geometry is fixed; --hidden is MLP-only
+            depth = args.depth if args.depth is not None else 2
+            hidden = args.hidden if args.hidden is not None else 500
+            arch = {"n_input": m.arch["n_input"], "n_z": m.arch["n_z"]}
+            for i in range(1, depth + 1):
+                arch[f"n_hidden_recog_{i}"] = hidden
+                arch[f"n_hidden_gener_{i}"] = hidden
+            return dataclasses.replace(m, arch=arch)
+
+        cfg = dataclasses.replace(
+            cfg, modalities=tuple(_resize(m) for m in cfg.modalities)
+        )
     if args.traj_encoding == "rbf":
         # The trajectory modality consumes RBF weight vectors, so its arch
         # n_input follows the encoding width (2 * centers). 100 centers
@@ -358,6 +412,7 @@ def main(argv=None) -> int:
             (args.model_parallel > 1, "--model-parallel"),
             (args.fsdp, "--fsdp"),
             (args.zero, "--zero"),
+            (args.pipeline > 0, "--pipeline"),
         ):
             if bad:
                 raise SystemExit(
@@ -491,6 +546,15 @@ def main(argv=None) -> int:
         raise SystemExit(
             "--model-parallel/--fsdp/--zero require --mesh N with N > 1")
 
+    pp_mesh = None
+    if args.pipeline:
+        from vae_assoc_tpu.parallel import pp as pp_mod
+
+        pp_mod.check_pp(cfg, tc, args.pipeline)  # fail before data prep
+        pp_mesh = pp_mod.make_pp_mesh(args.pipeline)
+        print(f"pipeline-parallel over {args.pipeline} stages "
+              f"(GPipe, parallel/pp.py)", flush=True)
+
     cfg_snapshot = None
     if args.ckpt_dir:
         # Self-describing checkpoints (the save_model layout): serving
@@ -532,20 +596,28 @@ def main(argv=None) -> int:
             state = shard_zero_train_state(mesh, state, cfg, tc)
         else:
             state = replicate(mesh, state)
+    if pp_mesh is not None:
+        state = pp_mod.shard_pp_train_state(pp_mesh, state, cfg, tc)
 
-    # ZeRO stores flat data-axis shards; validation/checkpoint/eval consume
-    # the plain full-array TrainState, so they go through this adapter
-    # (identity everywhere else). Pure reshaping — no collectives.
+    # ZeRO stores flat data-axis shards and PP restacks the tower middles;
+    # validation/checkpoint/eval consume the plain full-array TrainState,
+    # so they go through this adapter (identity everywhere else). Pure
+    # reshaping — no collectives.
     def to_full(s):
-        return gather_zero_train_state(s, cfg, tc) if args.zero else s
+        if args.zero:
+            return gather_zero_train_state(s, cfg, tc)
+        if args.pipeline:
+            return pp_mod.gather_pp_train_state(s, cfg, tc, args.pipeline)
+        return s
 
     log = MetricsLogger(args.metrics, echo=True, tensorboard_dir=args.tensorboard)
 
-    if args.augment and (mesh is not None or args.fused or args.sweep_seeds):
+    if args.augment and (mesh is not None or pp_mesh is not None
+                         or args.fused or args.sweep_seeds):
         raise SystemExit(
             "--augment uses the per-epoch host-chunked loop; it does not "
             "combine with --fused/--mesh/--model-parallel/--fsdp/--zero/"
-            "--sweep-seeds"
+            "--pipeline/--sweep-seeds"
         )
     aug_refresh_at = None
     if args.augment:
@@ -586,6 +658,9 @@ def main(argv=None) -> int:
         print(f"augment: {aug_cfg}", flush=True)
 
     def run(state, epochs):
+        if pp_mesh is not None:
+            return pp_mod.pp_train_loop(cfg, tc, data, pp_mesh, epochs=epochs,
+                                        state=state)
         if mesh is not None:
             if mp > 1 and args.fsdp:
                 return tp_fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs,
