@@ -206,6 +206,85 @@ def test_pp_annealing(mesh4, rng):
 
 
 # ---------------------------------------------------------------------------
+# DP×PP: 2-D ('stage', 'data') mesh
+# ---------------------------------------------------------------------------
+
+
+def _run_dp_pp(mesh, cfg, tc, rng, steps=3, spc=None):
+    n = int(mesh.shape[pp.STAGE_AXIS])
+    pstate = pp.init_pp_train_state(cfg, tc, mesh)
+    pstep = pp.make_pp_train_step(cfg, tc, mesh)
+    pms = []
+    batches = []
+    for _ in range(steps):
+        xs = _batches(rng, b=tc.batch_size, spc=spc)
+        batches.append(xs)
+        pstate, m = pstep(pstate, pp.shard_pp_batch(
+            mesh, xs, leading_scan_axis=spc is not None))
+        pms.append(jax.device_get(m))
+    return pp.gather_pp_train_state(pstate, cfg, tc, n), pms, batches
+
+
+def test_dp_pp_equals_pure_dp(rng):
+    """DP×PP (2 stages × 4 data) reproduces the pure-DP step over the same
+    4-way data mesh exactly: same per-data-shard ε fold, same loss-pmean
+    gradient sync — the pipeline axis adds no math."""
+    from vae_assoc_tpu.parallel import (
+        init_dp_train_state,
+        make_dp_train_step,
+        make_mesh,
+        shard_batch,
+    )
+
+    cfg = deep_cfg()
+    tc = TrainConfig(batch_size=32, learning_rate=1e-3)
+    mesh = pp.make_pp_mesh(2, data_parallel=4)
+    g, pms, batches = _run_dp_pp(mesh, cfg, tc, rng, steps=3)
+    dmesh = make_mesh(4)
+    dstate = init_dp_train_state(cfg, tc, dmesh)
+    dstep = make_dp_train_step(cfg, tc, dmesh)
+    dms = []
+    for xs in batches:
+        dstate, m = dstep(dstate, shard_batch(dmesh, xs))
+        dms.append(jax.device_get(m))
+    for pm, dm in zip(pms, dms):
+        np.testing.assert_allclose(pm["total"], dm["total"], rtol=1e-5)
+        np.testing.assert_allclose(pm["grad_norm"], dm["grad_norm"], rtol=1e-4)
+    _assert_tree_close(g.params, dstate.params)
+
+
+def test_dp_pp_scan_and_state_layout(rng):
+    """DP×PP with a steps_per_call scan: state still stage-sharded (mid
+    leaves split over stage, replicated over data), metrics carry the scan
+    axis, training advances."""
+    cfg = deep_cfg()
+    tc = TrainConfig(batch_size=16, learning_rate=1e-3, steps_per_call=2)
+    mesh = pp.make_pp_mesh(4, data_parallel=2)
+    pstate = pp.init_pp_train_state(cfg, tc, mesh)
+    mid_w = pstate.params["modalities"][0]["recog"]["mid"]["w"]
+    assert mid_w.shape == (4, 1, 24, 24)
+    # 8 addressable shards (full mesh), but only 4 DISTINCT stage blocks —
+    # each stage row's 2 data devices hold identical copies.
+    assert len(mid_w.addressable_shards) == 8
+    assert len({s.index[0].start for s in mid_w.addressable_shards}) == 4
+    g, pms, _ = _run_dp_pp(mesh, cfg, tc, rng, steps=2, spc=2)
+    assert pms[-1]["total"].shape == (2,)
+    assert np.all(np.isfinite(pms[-1]["total"]))
+    assert int(g.step) == 4
+
+
+def test_dp_pp_batch_divisibility_errors():
+    cfg = deep_cfg()
+    mesh = pp.make_pp_mesh(2, data_parallel=4)
+    with pytest.raises(ValueError, match="not divisible by the 4-way"):
+        pp.make_pp_train_step(cfg, TrainConfig(batch_size=30), mesh)
+    with pytest.raises(ValueError, match="per-data-shard batch"):
+        pp.make_pp_train_step(cfg, TrainConfig(batch_size=12), mesh)
+    with pytest.raises(ValueError, match="devices"):
+        pp.make_pp_mesh(4, data_parallel=4)
+
+
+# ---------------------------------------------------------------------------
 # The pipeline is real: sharded state + collectives on the wire
 # ---------------------------------------------------------------------------
 
@@ -404,8 +483,21 @@ def test_driver_pipeline_flag(tmp_path):
     z = loaded.transform([np.zeros((4, 784), np.float32),
                           np.zeros((4, 200), np.float32)])
     assert z[0].shape[0] == 4
+    # DP×PP: --mesh 8 with --pipeline 2 = 2 stages × 4 data shards.
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "3", "--data", "synthetic", "--n-samples", "128",
+         "--batch-size", "32", "--epochs", "1", "--depth", "5",
+         "--hidden", "32", "--pipeline", "2", "--mesh", "8"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "pipeline-parallel over 2 stages × 4 data shards" in out.stdout
     for bad, msg in (
-        (["--pipeline", "4", "--mesh", "8"], "owns the whole layout"),
+        (["--pipeline", "4", "--fsdp"], "owns the whole layout"),
+        # --mesh with --pipeline means DP×PP: N must be a multiple of S > S.
+        (["--pipeline", "4", "--mesh", "6"], "multiple of S"),
+        (["--pipeline", "4", "--mesh", "4"], "multiple of S"),
         (["--pipeline", "4", "--use-pallas"], "jnp model path"),
         (["--pipeline", "1"], ">= 2 stages"),
         # Reference depth-2 towers: nothing to pipeline, check_pp says so.

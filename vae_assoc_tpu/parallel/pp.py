@@ -30,6 +30,13 @@ Pipeline-bubble accounting is the textbook (S−1)/(M+S−1); pick
 layout exists for users who scale the arch dicts — at reference scale
 (depth 2) there is no middle to pipeline and `check_pp` says so loudly.
 
+**DP×PP** composes on a 2-D ``('stage', 'data')`` mesh
+(``make_pp_mesh(S, data_parallel=D)``): the batch shards over 'data'
+(each pipeline replica runs the ring on its local shard), the middles
+shard over 'stage', and the gradient sync is `train.step._one_step`'s
+loss-pmean over the data axis — trajectories match the pure-DP step
+exactly (same per-data-shard ε fold).
+
 Gradient semantics are exact, not approximate: every stage computes the
 SAME full-batch loss from the psum-broadcast ring outputs (the psum both
 sums away the non-last stages' masked zeros and makes the value's vma
@@ -75,23 +82,56 @@ from vae_assoc_tpu.train.step import TrainState, init_train_state, make_optimize
 STAGE_AXIS = "stage"
 
 
-def make_pp_mesh(n_stages: int | None = None, *, devices=None) -> Mesh:
-    """1-D pipeline mesh over the first ``n_stages`` devices."""
-    from vae_assoc_tpu.parallel.mesh import make_mesh
+def make_pp_mesh(
+    n_stages: int | None = None, *, data_parallel: int = 1, devices=None
+) -> Mesh:
+    """Pipeline mesh: 1-D ``('stage',)``, or 2-D ``('stage', 'data')`` when
+    ``data_parallel > 1`` (DP×PP — S pipeline replicas of D data shards;
+    uses the first S·D devices). Data is the MINOR axis so each pipeline's
+    data shards are device-contiguous (on real slices: the per-tick psum
+    gradient/broadcast traffic rides adjacent ICI links; the once-per-tick
+    ppermute hop takes the longer stride)."""
+    import numpy as np
 
-    return make_mesh(n_stages, data_axis=STAGE_AXIS, devices=devices)
+    from vae_assoc_tpu.parallel.mesh import DATA_AXIS, make_mesh
 
-
-def _n_stages(mesh: Mesh) -> int:
-    if mesh.axis_names != (STAGE_AXIS,):
+    if data_parallel <= 1:
+        return make_mesh(n_stages, data_axis=STAGE_AXIS, devices=devices)
+    if n_stages is None:
+        raise ValueError("data_parallel > 1 needs an explicit n_stages")
+    if devices is None:
+        devices = jax.devices()
+    need = n_stages * data_parallel
+    if need > len(devices):
         raise ValueError(
-            f"PP runs over a 1-D ('{STAGE_AXIS}',) mesh (make_pp_mesh); got "
-            f"axes {mesh.axis_names}"
+            f"PP×DP needs {n_stages}×{data_parallel}={need} devices, "
+            f"only {len(devices)} available"
+        )
+    grid = np.asarray(devices[:need]).reshape(n_stages, data_parallel)
+    return Mesh(grid, (STAGE_AXIS, DATA_AXIS))
+
+
+def _mesh_axes(mesh: Mesh):
+    """(n_stages, data_axis_name_or_None) — validates the mesh shape."""
+    from vae_assoc_tpu.parallel.mesh import DATA_AXIS
+
+    if mesh.axis_names == (STAGE_AXIS,):
+        data_axis = None
+    elif mesh.axis_names == (STAGE_AXIS, DATA_AXIS):
+        data_axis = DATA_AXIS
+    else:
+        raise ValueError(
+            f"PP runs over a ('{STAGE_AXIS}',) or ('{STAGE_AXIS}', "
+            f"'{DATA_AXIS}') mesh (make_pp_mesh); got axes {mesh.axis_names}"
         )
     s = int(mesh.shape[STAGE_AXIS])
     if s < 2:
         raise ValueError(f"PP needs >= 2 stages, got {s} (use the plain step)")
-    return s
+    return s, data_axis
+
+
+def _n_stages(mesh: Mesh) -> int:
+    return _mesh_axes(mesh)[0]
 
 
 def _net_widths(m, net: str):
@@ -138,15 +178,26 @@ def check_pp(cfg: AssocConfig, tc: TrainConfig, n_stages: int) -> None:
                 )
 
 
-def _resolve_n_micro(tc: TrainConfig, n_stages: int, n_micro: int | None) -> int:
+def _resolve_n_micro(
+    tc: TrainConfig, n_stages: int, n_micro: int | None, n_data: int = 1
+) -> int:
     m = 2 * n_stages if n_micro is None else int(n_micro)
     if m < n_stages:
         raise ValueError(
             f"n_micro={m} < {n_stages} stages leaves devices permanently "
             "idle; use at least S (>= 2S recommended: bubble = (S-1)/(M+S-1))"
         )
-    if tc.batch_size % m:
-        raise ValueError(f"batch_size {tc.batch_size} not divisible by n_micro={m}")
+    if tc.batch_size % n_data:
+        raise ValueError(
+            f"global batch {tc.batch_size} not divisible by the "
+            f"{n_data}-way data axis"
+        )
+    local = tc.batch_size // n_data
+    if local % m:
+        raise ValueError(
+            f"per-data-shard batch {local} "
+            f"(= {tc.batch_size}/{n_data}) not divisible by n_micro={m}"
+        )
     return m
 
 
@@ -387,11 +438,18 @@ def _ring(mid_w, mid_b, h0, n_stages: int, n_micro: int, transfer, cd):
         return (buf, out), None
 
     # The carry is stage-varying from tick 1 on (it holds stage-dependent
-    # activations); the literal-zeros initial carry must be promoted to the
-    # same vma type or the scan rejects the carry (shard_map check_vma).
-    carry0 = (
-        jax.lax.pvary(jnp.zeros((mb, w), h0.dtype), (STAGE_AXIS,)),
-        jax.lax.pvary(jnp.zeros((n_micro, mb, w), h0.dtype), (STAGE_AXIS,)),
+    # activations) and, under DP×PP, data-varying too (the batch is a data
+    # shard); the literal-zeros initial carry must be promoted to the same
+    # vma type or the scan rejects the carry (shard_map check_vma). Promote
+    # to stage ∪ h0's axes via the shared kernel helper.
+    from vae_assoc_tpu.kernels.mlp import _pvary_like
+
+    ref = jax.lax.pvary(h0, tuple({STAGE_AXIS} - set(jax.typeof(h0).vma)))
+    carry0 = tuple(
+        _pvary_like(
+            [jnp.zeros((mb, w), h0.dtype), jnp.zeros((n_micro, mb, w), h0.dtype)],
+            ref,
+        )
     )
     (_, out), _ = jax.lax.scan(body, carry0, jnp.arange(ticks))
     out = jax.lax.psum(jnp.where(stage == n_stages - 1, out, 0.0), STAGE_AXIS)
@@ -497,19 +555,37 @@ def _pp_optimizer(tc: TrainConfig):
     return make_optimizer(tc, clip_transform=clip)
 
 
-def _pp_one_step(state: TrainState, xs, cfg, tc, opt, n_stages, n_micro):
+def _pp_one_step(state: TrainState, xs, cfg, tc, opt, n_stages, n_micro,
+                 data_axis=None):
     """Per-stage step body. ε derivation matches `train.step._one_step`
-    WITHOUT the axis fold: the batch is replicated (every stage computes the
-    same full-batch loss), so the stream must equal the single-device one."""
+    WITHOUT the stage fold: the batch is replicated over stages (every stage
+    computes the same local-batch loss), so the stream must equal the
+    single-device one. Under DP×PP the data-axis fold IS applied — exactly
+    `_one_step`'s, so trajectories match the pure-DP step."""
     rng, step_key = jax.random.split(state.rng)
     step_key = jax.random.fold_in(step_key, state.step)
+    if data_axis is not None:
+        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(data_axis))
 
     def loss_fn(params):
         total, metrics = _pp_loss(params, xs, cfg, tc, step_key, n_stages, n_micro)
-        return step_mod.apply_objective_weights(total, metrics, cfg, tc, state.step)
+        total, metrics = step_mod.apply_objective_weights(
+            total, metrics, cfg, tc, state.step
+        )
+        if data_axis is not None:
+            # DP gradient sync, exactly as train.step._one_step: pmean the
+            # scalar loss over the data axis BEFORE grad — the vma-typed
+            # transpose then all-reduces every cotangent over data (mid
+            # shards stay stage-local, as with the stage axis below).
+            total = jax.lax.pmean(total, data_axis)
+        return total, metrics
 
     with jax.named_scope("pp_fwd_bwd"):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+    if data_axis is not None:
+        # Metrics are data-shard-local; average so the logged loss equals
+        # the global-batch loss (they are already stage-invariant).
+        metrics = jax.lax.pmean(metrics, data_axis)
     # The loss is stage-invariant (the ring output is psum-broadcast), so
     # replicated params' grads come back invariant and the mid shards'
     # grads come back stage-local — no hand-written gradient collective.
@@ -527,37 +603,64 @@ def make_pp_train_step(
     """Build the pipeline-parallel train step.
 
     Returns ``step_fn(pstate, xs) -> (pstate', metrics)`` with the
-    `make_dp_train_step` contract, except batches are REPLICATED onto the
-    mesh (`parallel.mesh.replicate`), not sharded — the parallel axis here
-    is tower depth, not the batch. State must be in the PP layout
-    (`init_pp_train_state` / `shard_pp_train_state`) and is donated.
-    ``n_micro`` (default 2·S) sets the GPipe microbatch count; the bubble
-    fraction is (S−1)/(n_micro+S−1)."""
-    n = _n_stages(mesh)
+    `make_dp_train_step` contract, except batch placement follows the mesh:
+    on a 1-D ``('stage',)`` mesh batches are REPLICATED
+    (`parallel.mesh.replicate`) — the parallel axis is tower depth, not the
+    batch; on a 2-D ``('stage', 'data')`` mesh (DP×PP,
+    ``make_pp_mesh(S, data_parallel=D)``) they are batch-dim sharded over
+    'data' (`shard_pp_batch`) and each pipeline replica runs the ring on
+    its local shard with one loss-pmean gradient sync over the data axis.
+    State must be in the PP layout (`init_pp_train_state` /
+    `shard_pp_train_state`) and is donated. ``n_micro`` (default 2·S) sets
+    the GPipe microbatch count per data shard; the bubble fraction is
+    (S−1)/(n_micro+S−1)."""
+    n, data_axis = _mesh_axes(mesh)
     check_pp(cfg, tc, n)
-    m = _resolve_n_micro(tc, n, n_micro)
+    n_data = int(mesh.shape[data_axis]) if data_axis else 1
+    m = _resolve_n_micro(tc, n, n_micro, n_data)
     opt = _pp_optimizer(tc)
     spc = tc.steps_per_call
 
     def local_step(state: TrainState, xs):
         if spc == 1:
-            return _pp_one_step(state, list(xs), cfg, tc, opt, n, m)
+            return _pp_one_step(state, list(xs), cfg, tc, opt, n, m, data_axis)
 
         def body(carry, batch):
-            return _pp_one_step(carry, list(batch), cfg, tc, opt, n, m)
+            return _pp_one_step(carry, list(batch), cfg, tc, opt, n, m,
+                                data_axis)
 
         return jax.lax.scan(body, state, tuple(xs))
 
     state_spec = TrainState(
         P(), _pp_param_specs(cfg, n), _pp_opt_spec(cfg, tc, n, opt), P()
     )
+    if data_axis is None:
+        xs_spec = P()
+    else:
+        xs_spec = P(None, data_axis) if spc > 1 else P(data_axis)
     step_fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(state_spec, P()),
+        in_specs=(state_spec, xs_spec),
         out_specs=(state_spec, P()),
     )
     return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def shard_pp_batch(mesh: Mesh, xs, *, leading_scan_axis: bool = False,
+                   batch_axes=None):
+    """Place batch arrays for the PP step: replicated on a 1-D stage mesh,
+    batch-dim sharded over 'data' (and stage-replicated) on a DP×PP mesh."""
+    del batch_axes
+    _, data_axis = _mesh_axes(mesh)
+    if data_axis is None:
+        from vae_assoc_tpu.parallel.mesh import replicate
+
+        return replicate(mesh, tuple(jnp.asarray(x) for x in xs))
+    from vae_assoc_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(mesh, xs, leading_scan_axis=leading_scan_axis,
+                       batch_axes=data_axis)
 
 
 def pp_train_loop(
@@ -574,18 +677,14 @@ def pp_train_loop(
     n_micro: int | None = None,
 ):
     """Epoch driver for the PP step — `parallel.dp.dp_train_loop` with
-    replicated batches (the pipeline parallelizes depth, not the batch)."""
+    PP batch placement: replicated on a 1-D stage mesh (the pipeline
+    parallelizes depth, not the batch), data-axis sharded under DP×PP."""
     from vae_assoc_tpu.parallel.dp import _epoch_loop
-    from vae_assoc_tpu.parallel import mesh as mesh_mod
 
     if state is None:
         state = init_pp_train_state(cfg, tc, mesh)
     step_fn = make_pp_train_step(cfg, tc, mesh, n_micro=n_micro)
-
-    def replicate_batch(mesh_, xs, *, leading_scan_axis=False, batch_axes=None):
-        del leading_scan_axis, batch_axes
-        return mesh_mod.replicate(mesh_, tuple(jnp.asarray(x) for x in xs))
-
+    _, data_axis = _mesh_axes(mesh)
     return _epoch_loop(
         cfg,
         tc,
@@ -593,8 +692,8 @@ def pp_train_loop(
         mesh,
         step_fn,
         state,
-        shard_fn=replicate_batch,
-        n_batch_dev=1,
+        shard_fn=shard_pp_batch,
+        n_batch_dev=int(mesh.shape[data_axis]) if data_axis else 1,
         epochs=epochs,
         display_step=display_step,
         on_metrics=on_metrics,

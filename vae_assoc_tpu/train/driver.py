@@ -184,10 +184,13 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--pipeline", type=int, default=0, metavar="S",
                    help="GPipe pipeline parallelism over S stage devices "
                         "(parallel/pp.py): deep uniform-width MLP towers "
-                        "(--depth L with (L-1) divisible by S), batches "
-                        "replicated, middle layers h2..hL stage-sharded, "
-                        "activations ride ppermute. Mutually exclusive "
-                        "with --mesh/--model-parallel/--fsdp/--zero/--fused")
+                        "(--depth L with (L-1) divisible by S), middle "
+                        "layers h2..hL stage-sharded, activations ride "
+                        "ppermute. Alone: batches replicated. With "
+                        "--mesh N (N total devices, a multiple of S): "
+                        "DP×PP — S stages × N/S data shards. Mutually "
+                        "exclusive with --model-parallel/--fsdp/--zero/"
+                        "--fused")
     p.add_argument("--zero", action="store_true",
                    help="with --mesh N, ZeRO-shard params + optimizer state "
                         "over the data axis via shard_map (parallel/zero.py: "
@@ -339,13 +342,21 @@ def main(argv=None) -> int:
     if args.pipeline:
         if args.pipeline < 2:
             raise SystemExit("--pipeline needs S >= 2 stages")
-        if (args.mesh or args.model_parallel > 1 or args.fsdp or args.zero
-                or args.fused):
+        if args.model_parallel > 1 or args.fsdp or args.zero or args.fused:
             raise SystemExit(
-                "--pipeline owns the whole layout (a 1-D shard_map stage "
-                "mesh); it cannot combine with --mesh/--model-parallel/"
-                "--fsdp/--zero/--fused"
+                "--pipeline owns the whole layout (a shard_map stage mesh, "
+                "optionally × data with --mesh N); it cannot combine with "
+                "--model-parallel/--fsdp/--zero/--fused"
             )
+        if args.mesh:
+            # DP×PP: --mesh N is the TOTAL device count (like
+            # --model-parallel), S stages × N/S data shards.
+            if args.mesh % args.pipeline or args.mesh <= args.pipeline:
+                raise SystemExit(
+                    f"--pipeline {args.pipeline} with --mesh {args.mesh}: "
+                    "the mesh is S stages × (N/S) data shards, so N must "
+                    "be a multiple of S greater than S"
+                )
         # Same config-vs-flag trap as --fsdp above: check_pp rejects
         # use_pallas, and config 5 defaults it True.
         if args.use_pallas:
@@ -490,9 +501,10 @@ def main(argv=None) -> int:
 
     # Data parallelism: explicit --mesh N, or all devices for the DP
     # milestone (config 5) when more than one device is attached.
-    n_mesh = args.mesh
+    n_mesh = None if args.pipeline else args.mesh
     if (n_mesh is None and args.config == 5 and len(jax.devices()) > 1
-            and not args.sweep_seeds):  # the sweep is single-device
+            and not args.sweep_seeds and not args.pipeline):
+        # The sweep is single-device; --pipeline owns its own mesh.
         n_mesh = len(jax.devices())
     mesh = None
     mp = args.model_parallel
@@ -551,9 +563,11 @@ def main(argv=None) -> int:
         from vae_assoc_tpu.parallel import pp as pp_mod
 
         pp_mod.check_pp(cfg, tc, args.pipeline)  # fail before data prep
-        pp_mesh = pp_mod.make_pp_mesh(args.pipeline)
-        print(f"pipeline-parallel over {args.pipeline} stages "
-              f"(GPipe, parallel/pp.py)", flush=True)
+        pp_data = (args.mesh // args.pipeline) if args.mesh else 1
+        pp_mesh = pp_mod.make_pp_mesh(args.pipeline, data_parallel=pp_data)
+        print(f"pipeline-parallel over {args.pipeline} stages"
+              + (f" × {pp_data} data shards" if pp_data > 1 else "")
+              + " (GPipe, parallel/pp.py)", flush=True)
 
     cfg_snapshot = None
     if args.ckpt_dir:
