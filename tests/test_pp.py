@@ -488,11 +488,13 @@ def test_driver_pipeline_flag(tmp_path):
         [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
          "--config", "3", "--data", "synthetic", "--n-samples", "128",
          "--batch-size", "32", "--epochs", "1", "--depth", "5",
-         "--hidden", "32", "--pipeline", "2", "--mesh", "8"],
+         "--hidden", "32", "--pipeline", "2", "--mesh", "8",
+         "--pp-micro", "8"],
         env=env, capture_output=True, text=True, timeout=600,
     )
     assert out.returncode == 0, out.stderr[-3000:]
-    assert "pipeline-parallel over 2 stages × 4 data shards" in out.stdout
+    assert ("pipeline-parallel over 2 stages × 4 data shards, "
+            "8 microbatches") in out.stdout
     for bad, msg in (
         (["--pipeline", "4", "--fsdp"], "owns the whole layout"),
         # --mesh with --pipeline means DP×PP: N must be a multiple of S > S.
@@ -502,6 +504,11 @@ def test_driver_pipeline_flag(tmp_path):
         (["--pipeline", "1"], ">= 2 stages"),
         # Reference depth-2 towers: nothing to pipeline, check_pp says so.
         (["--pipeline", "4"], "depth"),
+        (["--pp-micro", "4"], "only applies with --pipeline"),
+        # config-3 batch 64 is not divisible by 5 microbatches; the driver
+        # validates n_micro before data prep.
+        (["--depth", "5", "--hidden", "32", "--pipeline", "4",
+          "--pp-micro", "5"], "not divisible by n_micro=5"),
     ):
         args = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
                 "--config", "3", "--epochs", "1"] + bad

@@ -191,6 +191,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "DP×PP — S stages × N/S data shards. Mutually "
                         "exclusive with --model-parallel/--fsdp/--zero/"
                         "--fused")
+    p.add_argument("--pp-micro", type=int, default=None, metavar="M",
+                   help="with --pipeline S: GPipe microbatch count per data "
+                        "shard (default 2·S). Bubble fraction = "
+                        "(S-1)/(M+S-1) — more microbatches shrink the "
+                        "bubble but each must still fill the MXU; the "
+                        "per-shard batch must be divisible by M")
     p.add_argument("--zero", action="store_true",
                    help="with --mesh N, ZeRO-shard params + optimizer state "
                         "over the data axis via shard_map (parallel/zero.py: "
@@ -363,6 +369,8 @@ def main(argv=None) -> int:
             raise SystemExit("--pipeline runs the jnp model path "
                              "(no --use-pallas)")
         overrides["use_pallas"] = False
+    if args.pp_micro is not None and not args.pipeline:
+        raise SystemExit("--pp-micro only applies with --pipeline S")
     cfg, tc = baseline_config(args.config, **overrides)
     if args.depth is not None or args.hidden is not None:
         if args.depth is not None and args.depth < 1:
@@ -564,10 +572,13 @@ def main(argv=None) -> int:
 
         pp_mod.check_pp(cfg, tc, args.pipeline)  # fail before data prep
         pp_data = (args.mesh // args.pipeline) if args.mesh else 1
+        pp_micro = pp_mod._resolve_n_micro(tc, args.pipeline, args.pp_micro,
+                                           pp_data)
         pp_mesh = pp_mod.make_pp_mesh(args.pipeline, data_parallel=pp_data)
         print(f"pipeline-parallel over {args.pipeline} stages"
               + (f" × {pp_data} data shards" if pp_data > 1 else "")
-              + " (GPipe, parallel/pp.py)", flush=True)
+              + f", {pp_micro} microbatches (GPipe, parallel/pp.py)",
+              flush=True)
 
     cfg_snapshot = None
     if args.ckpt_dir:
@@ -674,7 +685,7 @@ def main(argv=None) -> int:
     def run(state, epochs):
         if pp_mesh is not None:
             return pp_mod.pp_train_loop(cfg, tc, data, pp_mesh, epochs=epochs,
-                                        state=state)
+                                        state=state, n_micro=args.pp_micro)
         if mesh is not None:
             if mp > 1 and args.fsdp:
                 return tp_fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs,
