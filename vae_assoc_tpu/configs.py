@@ -396,6 +396,19 @@ class TrainConfig:
     kl_beta: float = 1.0
     kl_anneal_steps: int = 0
     assoc_warmup_steps: int = 0
+    #   remat: rematerialize each modality tower's forward in the backward
+    #     pass (jax.checkpoint around the per-modality forward) — the
+    #     backward recomputes the tower instead of loading saved hidden
+    #     activations, trading FLOPs for HBM. Identical math (same
+    #     loss/grads, same ε — exact-gradient tested). Honest measured
+    #     caveat (docs/PERF.md "Remat"): at depth-8/width-2048/batch-8192
+    #     XLA's scheduler hoists the recomputes, so compiled PEAK temp HBM
+    #     is unchanged — the knob reduces saved-activation traffic, not
+    #     necessarily peak, and is situational. The megakernel path
+    #     ("mega") already rematerializes inside its custom VJP and ignores
+    #     this knob; the composable Pallas kernels compose with it (their
+    #     in-kernel residuals are recomputed too).
+    remat: bool = False
 
 
 def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:

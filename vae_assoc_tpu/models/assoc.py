@@ -77,8 +77,17 @@ def assoc_forward(
     compute_dtype=jnp.float32,
     use_pallas: bool = False,
     cond=None,
+    remat: bool = False,
 ):
-    """Run all K modality VAEs. ε per modality via split `key` or explicit list."""
+    """Run all K modality VAEs. ε per modality via split `key` or explicit list.
+
+    ``remat=True`` wraps each modality's forward in `jax.checkpoint`: the
+    backward pass recomputes the tower instead of loading its saved hidden
+    activations (TrainConfig.remat; measured caveats in docs/PERF.md
+    "Remat" — XLA's scheduler can hoist the recomputes, leaving peak temp
+    HBM unchanged). Identical math: the recompute replays the same ε
+    (key/eps are explicit checkpoint inputs, and the on-core PRNG sampler
+    is deterministic in its seed)."""
     xs, cond = split_cond(xs, cfg, cond)
     k = len(cfg.modalities)
     keys = [None] * k
@@ -87,17 +96,18 @@ def assoc_forward(
             raise ValueError("assoc_forward needs `key` or `eps`")
         keys = list(jax.random.split(key, k))
         eps = [None] * k
+
+    def fwd(m):
+        def f(p, x, kk, e, c):
+            return vae_mod.vae_forward(
+                p, x, m, key=kk, eps=e, compute_dtype=compute_dtype,
+                use_pallas=use_pallas, cond=c,
+            )
+
+        return jax.checkpoint(f) if remat else f
+
     return tuple(
-        vae_mod.vae_forward(
-            p,
-            x,
-            m,
-            key=kk,
-            eps=e,
-            compute_dtype=compute_dtype,
-            use_pallas=use_pallas,
-            cond=cond,
-        )
+        fwd(m)(p, x, kk, e, cond)
         for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps)
     )
 
@@ -113,6 +123,7 @@ def assoc_loss_fn(
     parity_mode: bool = False,
     use_pallas: bool = False,
     cond=None,
+    remat: bool = False,
 ):
     """Joint objective → (total_loss, metrics dict).
 
@@ -121,6 +132,10 @@ def assoc_loss_fn(
 
     Conditional models: the condition rides as a trailing ``xs`` entry or
     the ``cond`` kwarg (see `split_cond`).
+
+    ``remat``: per-tower `jax.checkpoint` (see `assoc_forward`). The mega
+    path already rematerializes inside its custom VJP (the decoder output
+    never reaches HBM), so it ignores the knob rather than rejecting it.
     """
     xs, cond = split_cond(xs, cfg, cond)
     if use_pallas == "mega" and not parity_mode:
@@ -151,6 +166,7 @@ def assoc_loss_fn(
         compute_dtype=compute_dtype,
         use_pallas=use_pallas,
         cond=cond,
+        remat=remat,
     )
     metrics = {}
     total = jnp.float32(0.0)

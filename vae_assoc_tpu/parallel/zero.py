@@ -262,6 +262,7 @@ def _zero_one_step(state: TrainState, xs, cfg, tc, opt, axis, n, tmpl):
             compute_dtype=tc.compute_dtype,
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
+            remat=tc.remat,
         )
         # β-VAE / annealing knobs, same shared helper as _one_step (no-op
         # at the defaults).

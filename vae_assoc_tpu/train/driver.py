@@ -114,6 +114,12 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="bf16 MXU-pass matmul policy (fp32 accumulation)")
     p.add_argument("--use-pallas", action="store_true",
                    help="route through the fused Pallas kernels")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize each modality tower's forward in the "
+                        "backward pass (jax.checkpoint): trades recompute "
+                        "FLOPs for saved-activation HBM traffic on deep "
+                        "--depth towers (TrainConfig.remat; measured "
+                        "caveats in docs/PERF.md 'Remat')")
     p.add_argument("--fused", action="store_true",
                    help="train_loop_fused: all epochs in one device program")
     p.add_argument("--display-step", type=int, default=1)
@@ -327,6 +333,8 @@ def main(argv=None) -> int:
             overrides[field] = v
     if args.seed is not None:
         overrides["seed"] = args.seed
+    if args.remat:
+        overrides["remat"] = True
     if args.bf16:
         overrides["compute_dtype"] = jnp.bfloat16
     if args.use_pallas:
@@ -371,6 +379,12 @@ def main(argv=None) -> int:
         overrides["use_pallas"] = False
     if args.pp_micro is not None and not args.pipeline:
         raise SystemExit("--pp-micro only applies with --pipeline S")
+    if args.remat and args.pipeline:
+        raise SystemExit(
+            "--remat wraps the standard per-tower forward; the pipeline "
+            "step has its own stage-sharded ring forward (parallel/pp.py) "
+            "with no tower boundary to checkpoint at"
+        )
     cfg, tc = baseline_config(args.config, **overrides)
     if args.depth is not None or args.hidden is not None:
         if args.depth is not None and args.depth < 1:

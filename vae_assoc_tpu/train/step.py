@@ -287,6 +287,7 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             compute_dtype=tc.compute_dtype,
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
+            remat=tc.remat,
         )
         # Per-model λ (sweep path) and/or β-VAE/annealing knobs: recompute
         # the objective from its terms. The gradient is exact — total is
