@@ -128,6 +128,51 @@ def test_driver_cli_end_to_end(tmp_path):
     assert "resumed from step" in out2.stdout
 
 
+def test_driver_sigterm_preemption_save(tmp_path):
+    """Preemption-safe training (SURVEY.md §5 "Failure detection"): SIGTERM
+    mid-run makes the driver checkpoint at the next chunk boundary and exit
+    cleanly; a --resume run continues from the saved step."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=1")
+    ckpt_dir = tmp_path / "ckpt"
+    base = [
+        sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+        "--config", "3", "--data", "synthetic", "--n-samples", "64",
+        "--batch-size", "32", "--epochs", "500",
+        "--ckpt-dir", str(ckpt_dir),
+    ]
+    proc = subprocess.Popen(
+        base, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        # Wait until training is actually under way (first chunk's epoch
+        # records echoed by MetricsLogger), then request preemption.
+        for line in proc.stdout:
+            if "total=" in line:
+                break
+        proc.send_signal(__import__("signal").SIGTERM)
+        out, err = proc.communicate(timeout=600)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, err[-3000:]
+    assert "preempted (signal 15): checkpoint saved" in out, out[-2000:]
+    # 500 epochs at 2 steps/epoch would be step 1000; preemption must have
+    # stopped well short of that, and resume must pick the step up.
+    out2 = subprocess.run(
+        base + ["--resume", "--epochs", "2"],  # argparse: last --epochs wins
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    assert "resumed from step" in out2.stdout
+    step = int(out2.stdout.split("resumed from step")[1].split()[0])
+    assert 0 < step < 1000
+
+
 def test_driver_ema_decay_end_to_end(tmp_path):
     """--ema-decay: training runs, validation + post-train eval use the
     debiased EMA weights (wiring check), and the incompatible

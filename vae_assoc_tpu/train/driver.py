@@ -776,6 +776,32 @@ def main(argv=None) -> int:
         """Epochs until the next interval boundary strictly after `done`."""
         return interval - done % interval if interval else args.epochs
 
+    # Preemption-safe training (SURVEY.md §5 "Failure detection"): with a
+    # checkpoint directory, SIGTERM — the signal preempted TPU VMs and
+    # cluster schedulers deliver — requests a save-and-exit at the next
+    # chunk boundary instead of killing the run on the floor. The handler
+    # only flips a flag: jitted device calls are uninterruptible, and a
+    # mid-chunk save would tear the (state, data-offset) pair that exact
+    # resume depends on. Response latency = one chunk; without ckpt/val
+    # intervals chunks are capped at 8 epochs (not under --fused, whose
+    # contract is all epochs in ONE device program — set --ckpt-every to
+    # bound its latency).
+    preempt_chunk = args.epochs
+    stop_signal = None
+    if args.ckpt_dir:
+        import signal
+
+        if not args.fused:
+            preempt_chunk = 8
+
+        def _on_term(signum, frame):
+            nonlocal stop_signal
+            stop_signal = signum
+            print(f"signal {signum} received: checkpointing and exiting at "
+                  "the next chunk boundary", flush=True)
+
+        signal.signal(signal.SIGTERM, _on_term)
+
     def run_validation(state, epoch: int):
         nonlocal best_val, stale
         # With --ema-decay the validated (and keep-best-selected) weights
@@ -802,13 +828,21 @@ def main(argv=None) -> int:
             stale += 1
 
     while epochs_done < args.epochs:
-        n = min(args.epochs - epochs_done,
+        n = min(args.epochs - epochs_done, preempt_chunk,
                 _until(epochs_done, ckpt_int), _until(epochs_done, val_int))
         state, history = run(state, n)
         for e, h in enumerate(history):
             if (epochs_done + e) % args.display_step == 0:
                 log.write(epoch=epochs_done + e, **h)
         epochs_done += n
+        if stop_signal is not None and epochs_done < args.epochs:
+            full = to_full(state)
+            ckpt.save(args.ckpt_dir, full)
+            print(f"preempted (signal {stop_signal}): checkpoint saved to "
+                  f"{args.ckpt_dir} at epoch {epochs_done - 1} (step "
+                  f"{int(jax.device_get(full.step))}); continue with "
+                  "--resume", flush=True)
+            return 0
         last_chunk = epochs_done >= args.epochs
         if val_int and (epochs_done % val_int == 0 or last_chunk):
             run_validation(to_full(state), epochs_done - 1)
