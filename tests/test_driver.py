@@ -128,6 +128,30 @@ def test_driver_cli_end_to_end(tmp_path):
     assert "resumed from step" in out2.stdout
 
 
+def test_driver_dry_compile():
+    """--dry-compile: AOT pre-flight prints params/FLOPs/memory analysis
+    and exits without training; sharded layouts reject loudly."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    base = [
+        sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+        "--config", "3", "--data", "synthetic", "--n-samples", "64",
+        "--batch-size", "32", "--depth", "4", "--hidden", "64",
+        "--dry-compile",
+    ]
+    out = subprocess.run(base, env=env, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "params:" in out.stdout
+    assert "flops/step" in out.stdout
+    assert ("HBM:" in out.stdout
+            or "memory analysis unavailable" in out.stdout), out.stdout
+    out2 = subprocess.run(base + ["--mesh", "4"], env=env,
+                          capture_output=True, text=True, timeout=600)
+    assert out2.returncode != 0
+    assert "single-device step" in out2.stderr
+
+
 def test_driver_sigterm_preemption_save(tmp_path):
     """Preemption-safe training (SURVEY.md §5 "Failure detection"): SIGTERM
     mid-run makes the driver checkpoint at the next chunk boundary and exit

@@ -25,6 +25,79 @@ import sys
 import numpy as np
 
 
+def _dry_compile(cfg, tc) -> int:
+    """--dry-compile: AOT-compile the single-device train step on abstract
+    inputs (`jax.eval_shape` state + ShapeDtypeStruct batches — nothing
+    touches the device memory) and print XLA's memory analysis and
+    per-step FLOPs. The pre-flight answer to "does this arch/batch fit a
+    chip": argument bytes ≈ resident state (params + Adam moments +
+    batch), temp bytes = XLA's peak workspace (activations, gradients)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_assoc_tpu.train.step import init_train_state, make_train_step
+
+    state_s = jax.eval_shape(lambda: init_train_state(cfg, tc))
+    spc = tc.steps_per_call
+
+    def batch_struct(n):
+        shape = (spc, tc.batch_size, n) if spc > 1 else (tc.batch_size, n)
+        return jax.ShapeDtypeStruct(shape, jnp.float32)
+
+    xs = [batch_struct(m.arch["n_input"]) for m in cfg.modalities]
+    if cfg.n_cond > 0:
+        xs.append(batch_struct(cfg.n_cond))
+    compiled = make_train_step(cfg, tc).lower(state_s, xs).compile()
+
+    n_params = sum(int(np.prod(l.shape))
+                   for l in jax.tree.leaves(state_s.params))
+    state_bytes = sum(
+        int(np.prod(l.shape)) * l.dtype.itemsize
+        for l in jax.tree.leaves(state_s) if hasattr(l, "shape")
+    )
+    batch_bytes = sum(int(np.prod(x.shape)) * 4 for x in xs)
+    print(f"params: {n_params:,} ({n_params * 4 / 2**20:.1f} MiB fp32); "
+          f"train state {state_bytes / 2**20:.1f} MiB + "
+          f"batch {batch_bytes / 2**20:.1f} MiB", flush=True)
+
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = (cost or {}).get("flops")
+    if flops:
+        per_step = flops / max(spc, 1)
+        print(f"flops/step: {per_step:.3e} "
+              f"({per_step / tc.batch_size:.3e}/sample)", flush=True)
+
+    try:
+        mem = compiled.memory_analysis()
+    except Exception:
+        mem = None
+    if mem is None:
+        print("memory analysis unavailable on this backend "
+              "(run on TPU for HBM numbers)", flush=True)
+        return 0
+    total = (mem.argument_size_in_bytes + mem.output_size_in_bytes
+             + mem.temp_size_in_bytes + mem.generated_code_size_in_bytes)
+    # Donation aliases the state args onto the outputs, so resident HBM is
+    # args + temp + code, not args + outputs + temp (outputs reuse args).
+    resident = (mem.argument_size_in_bytes + mem.temp_size_in_bytes
+                + mem.generated_code_size_in_bytes)
+    print(f"HBM: args {mem.argument_size_in_bytes / 2**20:.1f} MiB, "
+          f"outputs {mem.output_size_in_bytes / 2**20:.1f} MiB (donation-"
+          f"aliased), temp {mem.temp_size_in_bytes / 2**20:.1f} MiB, "
+          f"code {mem.generated_code_size_in_bytes / 2**20:.1f} MiB "
+          f"-> ~{resident / 2**20:.1f} MiB resident "
+          f"(unaliased total {total / 2**20:.1f} MiB)", flush=True)
+    stats = jax.devices()[0].memory_stats() or {}
+    limit = stats.get("bytes_limit")
+    if limit:
+        print(f"device HBM limit: {limit / 2**30:.2f} GiB -> "
+              f"{'FITS' if resident < limit else 'DOES NOT FIT'} "
+              f"({resident / limit:.1%})", flush=True)
+    return 0
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="vae_assoc_tpu.train.driver", description=__doc__
@@ -122,6 +195,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "caveats in docs/PERF.md 'Remat')")
     p.add_argument("--fused", action="store_true",
                    help="train_loop_fused: all epochs in one device program")
+    p.add_argument("--dry-compile", action="store_true",
+                   help="pre-flight: AOT-compile the (single-device) train "
+                        "step on abstract inputs — no data, no training — "
+                        "and print XLA's memory analysis (args/output/temp "
+                        "HBM) and per-step FLOPs, then exit. Check whether "
+                        "an arch/batch fits a chip before launching")
     p.add_argument("--display-step", type=int, default=1)
     p.add_argument("--val-frac", type=float, default=0.0,
                    help="hold out this fraction of the data (seeded "
@@ -501,6 +580,15 @@ def main(argv=None) -> int:
         cond_full = np.eye(n_classes, dtype=np.float32)[lab]
         data = data + [cond_full]
         print(f"conditional: n_cond={n_classes} classes", flush=True)
+    if args.dry_compile:
+        if args.mesh or args.model_parallel > 1 or args.fsdp or args.zero \
+                or args.pipeline or args.sweep_seeds:
+            raise SystemExit(
+                "--dry-compile analyzes the single-device step (the "
+                "fits-one-chip question); sharded layouts are not covered"
+            )
+        return _dry_compile(cfg, tc)
+
     val_data = None
     train_idx = None
     eval_labels = ds.labels
