@@ -57,16 +57,18 @@ def _pvary_like(arrs, like):
 
     Under `shard_map(check_vma=True)` a kernel mixing a varying batch with
     invariant weights fails vma checking (no auto-promotion inside
-    pallas_call). `jax.lax.pvary`'s transpose is `psum`, so applying it
-    *outside* the kernels' custom_vjp also makes the weight-grad cotangents
-    come back globally reduced with no hand-written collective."""
+    pallas_call). The invariant→varying cast's transpose is `psum`, so
+    applying it *outside* the kernels' custom_vjp also makes the
+    weight-grad cotangents come back globally reduced with no hand-written
+    collective. (`jax.lax.pcast(..., to="varying")` — the successor of the
+    deprecated `jax.lax.pvary`.)"""
     want = jax.typeof(like).vma
     if not want:
         return list(arrs)
     out = []
     for a in arrs:
         missing = tuple(want - jax.typeof(a).vma)
-        out.append(jax.lax.pvary(a, missing) if missing else a)
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
     return out
 
 

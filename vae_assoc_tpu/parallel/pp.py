@@ -444,7 +444,9 @@ def _ring(mid_w, mid_b, h0, n_stages: int, n_micro: int, transfer, cd):
     # to stage ∪ h0's axes via the shared kernel helper.
     from vae_assoc_tpu.kernels.mlp import _pvary_like
 
-    ref = jax.lax.pvary(h0, tuple({STAGE_AXIS} - set(jax.typeof(h0).vma)))
+    ref = jax.lax.pcast(
+        h0, tuple({STAGE_AXIS} - set(jax.typeof(h0).vma)), to="varying"
+    )
     carry0 = tuple(
         _pvary_like(
             [jnp.zeros((mb, w), h0.dtype), jnp.zeros((n_micro, mb, w), h0.dtype)],
