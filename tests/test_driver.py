@@ -164,11 +164,13 @@ def test_driver_sigterm_preemption_save(tmp_path):
     base = [
         sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
         "--config", "3", "--data", "synthetic", "--n-samples", "64",
-        "--batch-size", "32", "--epochs", "500",
+        "--batch-size", "32", "--epochs", "500", "--preempt-chunk", "4",
         "--ckpt-dir", str(ckpt_dir),
     ]
+    # stderr merged into stdout: a second unread PIPE could fill and block
+    # the child before the line we wait for ever appears.
     proc = subprocess.Popen(
-        base, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        base, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True,
     )
     try:
@@ -178,12 +180,12 @@ def test_driver_sigterm_preemption_save(tmp_path):
             if "total=" in line:
                 break
         proc.send_signal(__import__("signal").SIGTERM)
-        out, err = proc.communicate(timeout=600)
+        out, _ = proc.communicate(timeout=600)
     finally:
         if proc.poll() is None:
             proc.kill()
             proc.communicate()
-    assert proc.returncode == 0, err[-3000:]
+    assert proc.returncode == 0, out[-3000:]
     assert "preempted (signal 15): checkpoint saved" in out, out[-2000:]
     # 500 epochs at 2 steps/epoch would be step 1000; preemption must have
     # stopped well short of that, and resume must pick the step up.

@@ -403,8 +403,9 @@ class TrainConfig:
     #     loss/grads, same ε — exact-gradient tested). Honest measured
     #     caveat (docs/PERF.md "Remat"): at depth-8/width-2048/batch-8192
     #     XLA's scheduler hoists the recomputes, so compiled PEAK temp HBM
-    #     is unchanged — the knob reduces saved-activation traffic, not
-    #     necessarily peak, and is situational. The megakernel path
+    #     is unchanged while the step pays the extra forward (1.18×
+    #     best-of-3) — check --dry-compile / memory_analysis() for your
+    #     shapes before paying the recompute. The megakernel path
     #     ("mega") already rematerializes inside its custom VJP and ignores
     #     this knob; the composable Pallas kernels compose with it (their
     #     in-kernel residuals are recomputed too).

@@ -652,9 +652,17 @@ def make_pp_train_step(
 def shard_pp_batch(mesh: Mesh, xs, *, leading_scan_axis: bool = False,
                    batch_axes=None):
     """Place batch arrays for the PP step: replicated on a 1-D stage mesh,
-    batch-dim sharded over 'data' (and stage-replicated) on a DP×PP mesh."""
-    del batch_axes
+    batch-dim sharded over 'data' (and stage-replicated) on a DP×PP mesh.
+
+    ``batch_axes`` exists for `shard_batch` signature compatibility only;
+    the PP mesh owns its batch placement, so any value other than the
+    mesh's own data axis is rejected rather than silently ignored."""
     _, data_axis = _mesh_axes(mesh)
+    if batch_axes is not None and batch_axes != data_axis:
+        raise ValueError(
+            f"shard_pp_batch derives batch placement from the PP mesh "
+            f"(data axis: {data_axis!r}); got batch_axes={batch_axes!r}"
+        )
     if data_axis is None:
         from vae_assoc_tpu.parallel.mesh import replicate
 

@@ -195,6 +195,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "caveats in docs/PERF.md 'Remat')")
     p.add_argument("--fused", action="store_true",
                    help="train_loop_fused: all epochs in one device program")
+    p.add_argument("--preempt-chunk", type=int, default=0, metavar="N",
+                   help="with --ckpt-dir: cap training chunks at N epochs "
+                        "so a SIGTERM (preemption) checkpoints within N "
+                        "epochs even when no --ckpt-every/--val-every "
+                        "boundary exists. Off by default: extra chunking "
+                        "re-seeds the per-chunk shuffle stream (a "
+                        "different, equally valid permutation sequence) "
+                        "and re-stages the dataset per chunk")
     p.add_argument("--dry-compile", action="store_true",
                    help="pre-flight: AOT-compile the (single-device) train "
                         "step on abstract inputs — no data, no training — "
@@ -500,6 +508,21 @@ def main(argv=None) -> int:
         ))
     k = len(cfg.modalities)
 
+    if args.dry_compile:
+        # Validate BEFORE any data work (this is a pre-flight), and for the
+        # unconditional case compile before loading data at all — the
+        # analysis only needs shapes. --conditional derives n_cond from the
+        # data's label set, so that one spelling runs after the conditional
+        # block below.
+        if args.mesh or args.model_parallel > 1 or args.fsdp or args.zero \
+                or args.pipeline or args.sweep_seeds:
+            raise SystemExit(
+                "--dry-compile analyzes the single-device step (the "
+                "fits-one-chip question); sharded layouts are not covered"
+            )
+        if not args.conditional:
+            return _dry_compile(cfg, tc)
+
     if args.val_frac > 0 and args.val_every < 1:
         raise SystemExit("--val-every must be >= 1")
     if args.keep_best and args.val_frac <= 0:
@@ -580,13 +603,7 @@ def main(argv=None) -> int:
         cond_full = np.eye(n_classes, dtype=np.float32)[lab]
         data = data + [cond_full]
         print(f"conditional: n_cond={n_classes} classes", flush=True)
-    if args.dry_compile:
-        if args.mesh or args.model_parallel > 1 or args.fsdp or args.zero \
-                or args.pipeline or args.sweep_seeds:
-            raise SystemExit(
-                "--dry-compile analyzes the single-device step (the "
-                "fits-one-chip question); sharded layouts are not covered"
-            )
+    if args.dry_compile:  # --conditional spelling: cfg now carries n_cond
         return _dry_compile(cfg, tc)
 
     val_data = None
@@ -870,17 +887,16 @@ def main(argv=None) -> int:
     # chunk boundary instead of killing the run on the floor. The handler
     # only flips a flag: jitted device calls are uninterruptible, and a
     # mid-chunk save would tear the (state, data-offset) pair that exact
-    # resume depends on. Response latency = one chunk; without ckpt/val
-    # intervals chunks are capped at 8 epochs (not under --fused, whose
-    # contract is all epochs in ONE device program — set --ckpt-every to
-    # bound its latency).
-    preempt_chunk = args.epochs
+    # resume depends on. Response latency = one chunk; --preempt-chunk N
+    # bounds it explicitly. Extra chunking is NOT applied silently: the
+    # shuffle stream is seeded per chunk from (seed, start_step), so a
+    # different chunking is a different (equally valid) permutation
+    # sequence, and each chunk re-stages the dataset to the device —
+    # both are opt-in costs, not defaults.
+    preempt_chunk = args.preempt_chunk or args.epochs
     stop_signal = None
     if args.ckpt_dir:
         import signal
-
-        if not args.fused:
-            preempt_chunk = 8
 
         def _on_term(signum, frame):
             nonlocal stop_signal
