@@ -198,6 +198,15 @@ def test_driver_sigterm_preemption_save(tmp_path):
     step = int(out2.stdout.split("resumed from step")[1].split()[0])
     assert 0 < step < 1000
 
+    from vae_assoc_tpu.train import driver
+
+    with pytest.raises(SystemExit, match="must be >= 0"):
+        driver.main(["--config", "3", "--epochs", "1",
+                     "--ckpt-dir", "/tmp/x", "--preempt-chunk", "-3"])
+    with pytest.raises(SystemExit, match="requires --ckpt-dir"):
+        driver.main(["--config", "3", "--epochs", "1",
+                     "--preempt-chunk", "4"])
+
 
 def test_driver_ema_decay_end_to_end(tmp_path):
     """--ema-decay: training runs, validation + post-train eval use the

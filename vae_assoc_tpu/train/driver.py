@@ -466,6 +466,11 @@ def main(argv=None) -> int:
         overrides["use_pallas"] = False
     if args.pp_micro is not None and not args.pipeline:
         raise SystemExit("--pp-micro only applies with --pipeline S")
+    if args.preempt_chunk < 0:
+        raise SystemExit("--preempt-chunk must be >= 0 (0 = off)")
+    if args.preempt_chunk and not args.ckpt_dir:
+        raise SystemExit("--preempt-chunk requires --ckpt-dir (it exists "
+                         "to bound the SIGTERM-to-checkpoint latency)")
     if args.remat and args.pipeline:
         raise SystemExit(
             "--remat wraps the standard per-tower forward; the pipeline "
