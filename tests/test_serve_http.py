@@ -203,6 +203,65 @@ def test_server_config_validation():
         ModelServer(pred, max_batch=8192, warm=False)
 
 
+def test_cli_sigterm_graceful_drain(tmp_path):
+    """The serving CLI shuts down cleanly on SIGTERM (the orchestrator
+    preemption signal): stops accepting, drains the MicroBatcher via the
+    context exit, and exits 0 — mirroring the training driver's
+    preemption-safe story."""
+    import os
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"],
+        names=["image", "trajectory"],
+    )
+    mdir = tmp_path / "model"
+    model.save_model(str(mdir))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "vae_assoc_tpu.serve_http", str(mdir),
+         "--port", str(port), "--max-batch", "64"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        for line in proc.stdout:
+            if "serving" in line:
+                break
+        # Prove it actually serves, then request shutdown.
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+    assert proc.returncode == 0, out[-3000:]
+    assert "draining in-flight requests" in out
+    assert "server closed" in out
+    # The port is released (server_close ran): a fresh bind succeeds.
+    deadline = time.time() + 10
+    while True:
+        try:
+            with socket.socket() as s:
+                s.bind(("127.0.0.1", port))
+            break
+        except OSError:
+            if time.time() > deadline:
+                raise
+            time.sleep(0.2)
+
+
 def test_cli_small_max_batch_defaults_min_batch():
     """`--max-batch 32` with no --min-batch must start: the CLI default
     for --min-batch is None (→ min(64, max_batch)), not a hard 64 that

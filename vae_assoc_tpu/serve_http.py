@@ -339,12 +339,29 @@ def main(argv=None) -> int:
                      min_batch=args.min_batch,
                      max_wait_ms=args.max_wait_ms,
                      warm=not args.no_warm) as server:
+        # Graceful SIGTERM (what orchestrators send before SIGKILL): stop
+        # accepting, let serve() return, and let the context exit drain the
+        # MicroBatcher — in-flight requests get their responses instead of
+        # dropped connections. httpd.shutdown() must run on ANOTHER thread:
+        # called from the signal handler (main thread, inside
+        # serve_forever's poll loop) it deadlocks waiting on itself.
+        import signal
+        import threading
+
+        def _on_term(signum, frame):
+            print(f"signal {signum}: draining in-flight requests and "
+                  "shutting down", flush=True)
+            threading.Thread(target=server._httpd.shutdown,
+                             daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _on_term)
         print(f"serving {args.model_dir} on http://{args.host}:{args.port}",
               flush=True)
         try:
             server.serve(args.host, args.port)
         except KeyboardInterrupt:
             pass
+    print("server closed", flush=True)
     return 0
 
 
