@@ -250,10 +250,14 @@ def test_cli_sigterm_graceful_drain(tmp_path):
     assert "draining in-flight requests" in out
     assert "server closed" in out
     # The port is released (server_close ran): a fresh bind succeeds.
+    # SO_REUSEADDR matches what ThreadingHTTPServer itself sets
+    # (allow_reuse_address) — without it the healthz connection's
+    # TIME_WAIT state blocks a plain bind for ~60 s.
     deadline = time.time() + 10
     while True:
         try:
             with socket.socket() as s:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
                 s.bind(("127.0.0.1", port))
             break
         except OSError:

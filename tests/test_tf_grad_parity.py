@@ -4,12 +4,23 @@ The numpy oracle (oracle_np.py) pins forward values; this pins the FULL
 backward pass: identical weights + identical ε in both frameworks, compare
 ∂cost/∂θ for every parameter of the joint model. TF implements the
 reference's formulation (ε-clamped logs → parity_mode=True on our side).
+
+TF runs in a SUBPROCESS, not in-process: JAX and TensorFlow each bundle
+their own LLVM/XLA, and co-residency destabilizes the CPU compiler — the
+full suite once segfaulted inside `jax.grad`'s backend compile at exactly
+this test (faulthandler stack: `backend_compile_and_load` under
+`_scan_transpose_fancy`) while passing in isolation. Weights/inputs/ε go
+out as an .npz, TF grads come back as an .npz; the main process never
+imports tensorflow (even the skip check uses find_spec).
 """
+
+import importlib.util
+import os
+import subprocess
+import sys
 
 import numpy as np
 import pytest
-
-tf = pytest.importorskip("tensorflow")
 
 import jax
 import jax.numpy as jnp
@@ -17,27 +28,39 @@ import jax.numpy as jnp
 from vae_assoc_tpu.configs import AssocConfig, ModalityConfig
 from vae_assoc_tpu.models import assoc as assoc_mod
 
+if importlib.util.find_spec("tensorflow") is None:  # no in-process import
+    pytest.skip("tensorflow not installed", allow_module_level=True)
+
 ARCH = dict(
     n_input=36, n_z=5, n_hidden_recog_1=24, n_hidden_recog_2=20,
     n_hidden_gener_1=20, n_hidden_gener_2=24,
 )
 
+# The oracle subprocess: rebuild the towers from the npz (keys
+# m{ti}/{part}/{layer}/{wb}), run the reference math under GradientTape,
+# write the gradients back under the same keys.
+_TF_ORACLE = r"""
+import sys
+import numpy as np
+import tensorflow as tf
 
-def _tf_tower(np_p):
-    """params["recog"/"gener"]["h1"/...]["w"/"b"] → same tree of tf.Variable."""
-    return {
-        part: {
-            layer: {wb: tf.Variable(np.asarray(arr)) for wb, arr in wbs.items()}
-            for layer, wbs in layers.items()
-        }
-        for part, layers in np_p.items()
-    }
+inp = np.load(sys.argv[1])
+kinds = ["bernoulli", "gaussian"]
+towers = [{}, {}]
+for key in inp.files:
+    if not key.startswith("m"):
+        continue
+    ti, part, layer, wb = key.split("/")
+    towers[int(ti[1:])].setdefault(part, {}).setdefault(layer, {})[wb] = (
+        tf.Variable(inp[key])
+    )
 
 
-def _tf_forward(p, x, eps, recon_kind):
-    def lin(layer, h):
-        return tf.matmul(h, layer["w"]) + layer["b"]
+def lin(layer, h):
+    return tf.matmul(h, layer["w"]) + layer["b"]
 
+
+def forward(p, x, eps, recon_kind):
     r, g = p["recog"], p["gener"]
     h = tf.nn.softplus(lin(r["h2"], tf.nn.softplus(lin(r["h1"], x))))
     mu, lv = lin(r["out_mean"], h), lin(r["out_logvar"], h)
@@ -55,7 +78,30 @@ def _tf_forward(p, x, eps, recon_kind):
     return mu, tf.reduce_mean(recon) + tf.reduce_mean(kl)
 
 
-def test_joint_gradient_parity_vs_tensorflow(rng):
+with tf.GradientTape() as tape:
+    cost = tf.constant(0.0)
+    mus = []
+    for ti, (t, kind) in enumerate(zip(towers, kinds)):
+        mu, c = forward(t, tf.constant(inp[f"x{ti}"]),
+                        tf.constant(inp[f"eps{ti}"]), kind)
+        mus.append(mu)
+        cost = cost + c
+    assoc = tf.reduce_mean(tf.reduce_sum(tf.square(mus[0] - mus[1]), 1))
+    cost = cost + float(inp["assoc_lambda"]) * assoc
+
+keys, tf_vars = [], []
+for ti, t in enumerate(towers):
+    for part in ("recog", "gener"):
+        for layer in sorted(t[part]):
+            for wb in ("w", "b"):
+                keys.append(f"m{ti}/{part}/{layer}/{wb}")
+                tf_vars.append(t[part][layer][wb])
+grads = tape.gradient(cost, tf_vars)
+np.savez(sys.argv[2], **{k: g.numpy() for k, g in zip(keys, grads)})
+"""
+
+
+def test_joint_gradient_parity_vs_tensorflow(rng, tmp_path):
     cfg = AssocConfig(
         [
             ModalityConfig("image", ARCH, recon="bernoulli"),
@@ -79,33 +125,40 @@ def test_joint_gradient_parity_vs_tensorflow(rng):
 
     g_jax = jax.grad(loss)(params)
 
-    # --- TF side: same weights, same ε, reference math
-    towers = [
-        _tf_tower(np_p) for np_p in jax.tree.map(np.asarray, params)["modalities"]
-    ]
-    kinds = ["bernoulli", "gaussian"]
-    with tf.GradientTape() as tape:
-        cost = tf.constant(0.0)
-        mus = []
-        for t, x, e, kind in zip(towers, xs_np, eps_np, kinds):
-            mu, c = _tf_forward(t, tf.constant(x), tf.constant(e), kind)
-            mus.append(mu)
-            cost = cost + c
-        assoc = tf.reduce_mean(tf.reduce_sum(tf.square(mus[0] - mus[1]), 1))
-        cost = cost + 1.5 * assoc
-    flat_tf_vars = []
-    flat_jax = []
-    for ti, t in enumerate(towers):
+    # --- TF side in a subprocess: same weights, same ε, reference math
+    np_params = jax.tree.map(np.asarray, params)["modalities"]
+    blob = {"assoc_lambda": np.float32(1.5)}
+    for ti, (x, e) in enumerate(zip(xs_np, eps_np)):
+        blob[f"x{ti}"] = x
+        blob[f"eps{ti}"] = e
+    for ti, tower in enumerate(np_params):
+        for part, layers in tower.items():
+            for layer, wbs in layers.items():
+                for wb, arr in wbs.items():
+                    blob[f"m{ti}/{part}/{layer}/{wb}"] = arr
+    in_npz, out_npz = tmp_path / "in.npz", tmp_path / "out.npz"
+    np.savez(in_npz, **blob)
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # the oracle imports only numpy + TF
+    res = subprocess.run(
+        [sys.executable, "-c", _TF_ORACLE, str(in_npz), str(out_npz)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    g_tf = np.load(out_npz)
+
+    checked = 0
+    for ti in range(2):
         for part in ("recog", "gener"):
-            for layer in sorted(t[part]):
+            layers = g_jax["modalities"][ti][part]
+            for layer in sorted(layers):
                 for wb in ("w", "b"):
-                    flat_tf_vars.append(t[part][layer][wb])
-                    flat_jax.append(
-                        g_jax["modalities"][ti][part][layer][wb]
+                    np.testing.assert_allclose(
+                        np.asarray(layers[layer][wb]),
+                        g_tf[f"m{ti}/{part}/{layer}/{wb}"],
+                        rtol=5e-4, atol=5e-5,
+                        err_msg=f"m{ti}/{part}/{layer}/{wb}",
                     )
-    g_tf = tape.gradient(cost, flat_tf_vars)
-    assert len(g_tf) == len(flat_jax)
-    for gt, gj in zip(g_tf, flat_jax):
-        np.testing.assert_allclose(
-            np.asarray(gj), gt.numpy(), rtol=5e-4, atol=5e-5
-        )
+                    checked += 1
+    # 2 towers × (recog: h1,h2,out_mean,out_logvar + gener: h1,h2,out) × (w,b)
+    assert checked == 28

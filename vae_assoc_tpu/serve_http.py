@@ -209,9 +209,14 @@ class ModelServer:
         return tuple(np.concatenate(p, axis=0) for p in zip(*parts))
 
     # -- lifecycle -----------------------------------------------------------
-    def serve(self, host: str = "127.0.0.1", port: int = 8000):
-        """Blocking serve_forever (Ctrl-C to stop)."""
+    def serve(self, host: str = "127.0.0.1", port: int = 8000,
+              on_bound=None):
+        """Blocking serve_forever (Ctrl-C to stop). ``on_bound`` runs after
+        the socket is bound, before the accept loop — announce readiness
+        there, not before serve() (a pre-bind banner races clients)."""
         with self._make_httpd(host, port):
+            if on_bound is not None:
+                on_bound(self._httpd.server_address[1])
             self._httpd.serve_forever()
 
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -351,14 +356,20 @@ def main(argv=None) -> int:
         def _on_term(signum, frame):
             print(f"signal {signum}: draining in-flight requests and "
                   "shutting down", flush=True)
-            threading.Thread(target=server._httpd.shutdown,
-                             daemon=True).start()
+            httpd = server._httpd
+            if httpd is None:  # SIGTERM before the socket bound
+                raise SystemExit(0)
+            threading.Thread(target=httpd.shutdown, daemon=True).start()
 
         signal.signal(signal.SIGTERM, _on_term)
-        print(f"serving {args.model_dir} on http://{args.host}:{args.port}",
-              flush=True)
+
+        def _announce(port):
+            # After bind: a client that reads this line can connect NOW.
+            print(f"serving {args.model_dir} on http://{args.host}:{port}",
+                  flush=True)
+
         try:
-            server.serve(args.host, args.port)
+            server.serve(args.host, args.port, on_bound=_announce)
         except KeyboardInterrupt:
             pass
     print("server closed", flush=True)
