@@ -82,12 +82,40 @@ def kl(z_mean, z_logvar):
     )
 
 
-def assoc_term(z_means):
-    total = np.zeros(z_means[0].shape[0], dtype=np.float32)
-    for i in range(len(z_means)):
-        for j in range(i + 1, len(z_means)):
-            d = z_means[i] - z_means[j]
-            total = total + ordered_sum(d * d, axis=-1)
+def assoc_term(z_means, z_logvars=None, zs=None, form="mean_l2", temp=0.1):
+    """Association term, all configured forms (ops/losses.ASSOC_FORMS).
+
+    Same pinned cumsum reduction as the other terms; the default form stays
+    the bitwise-parity surface, the alternates are the oracle twins for
+    tests/test_assoc_forms.py."""
+    if form == "infonce":
+        total = np.zeros(z_means[0].shape[0], dtype=np.float64)
+        normed = [
+            z / np.sqrt(np.sum(z * z, axis=-1, keepdims=True) + 1e-12)
+            for z in np.asarray(z_means, dtype=np.float64)
+        ]
+        for i in range(len(normed)):
+            for j in range(i + 1, len(normed)):
+                logits = (normed[i] @ normed[j].T) / temp
+                pos = np.diagonal(logits)
+                m_r = logits.max(axis=1)
+                lse_r = m_r + np.log(np.exp(logits - m_r[:, None]).sum(axis=1))
+                m_c = logits.max(axis=0)
+                lse_c = m_c + np.log(np.exp(logits - m_c[None, :]).sum(axis=0))
+                total = total + 0.5 * ((lse_r - pos) + (lse_c - pos))
+        return total.astype(np.float32)
+    pts = zs if form == "sample_l2" else z_means
+    total = np.zeros(pts[0].shape[0], dtype=np.float32)
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            if form == "sym_kl":
+                d2 = (z_means[i] - z_means[j]) ** 2
+                vi, vj = np.exp(z_logvars[i]), np.exp(z_logvars[j])
+                term = 0.5 * ((vi + d2) / vj + (vj + d2) / vi - 2.0)
+                total = total + ordered_sum(term, axis=-1)
+            else:
+                d = pts[i] - pts[j]
+                total = total + ordered_sum(d * d, axis=-1)
     return total
 
 

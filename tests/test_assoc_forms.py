@@ -1,0 +1,322 @@
+"""Association-term forms (AssocConfig.assoc_form; ops/losses.ASSOC_FORMS).
+
+SURVEY.md §7 flags the reference's exact association form as an unverified
+[R] reconstruction (mean-L2 vs sampled-z-L2 vs symmetric-KL); the framework
+ships all three as config options. The default ("mean_l2") is the parity
+surface and must stay byte-identical; the alternates get oracle parity,
+math-property, path-equality (jnp vs Pallas vs mega-fallback), gradient,
+serialization, and training tests here.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import oracle_np as oracle
+from vae_assoc_tpu.configs import (
+    AssocConfig,
+    ModalityConfig,
+    TrainConfig,
+    config_from_dict,
+    config_to_dict,
+    default_image_arch,
+    default_traj_arch,
+)
+from vae_assoc_tpu.models import assoc as assoc_mod
+from vae_assoc_tpu.models.assoc import assoc_loss_fn, init_assoc
+from vae_assoc_tpu.ops import losses
+from vae_assoc_tpu.train import init_train_state, make_train_step
+
+FORMS = ("mean_l2", "sample_l2", "sym_kl", "infonce")
+
+
+def _latents(rng, k=3, b=16, nz=5):
+    mus = [rng.normal(size=(b, nz)).astype(np.float32) for _ in range(k)]
+    lvs = [(rng.normal(size=(b, nz)) * 0.4).astype(np.float32) for _ in range(k)]
+    zs = [rng.normal(size=(b, nz)).astype(np.float32) for _ in range(k)]
+    return mus, lvs, zs
+
+
+@pytest.mark.parametrize("form", FORMS)
+def test_forms_match_numpy_oracle(rng, form):
+    mus, lvs, zs = _latents(rng)
+    got = np.asarray(
+        losses.assoc_loss(
+            [jnp.asarray(m) for m in mus],
+            z_logvars=[jnp.asarray(v) for v in lvs],
+            zs=[jnp.asarray(z) for z in zs],
+            form=form,
+            ordered=True,
+        )
+    )
+    want = oracle.assoc_term(mus, z_logvars=lvs, zs=zs, form=form)
+    if form == "sym_kl":
+        # exp() bits differ libm-vs-XLA (docs/PARITY.md); L2 forms are
+        # transcendental-free and ordered-pinned -> bitwise.
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    elif form == "infonce":
+        # fp64 numpy oracle vs fp32 jax (rsqrt + logsumexp).
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    else:
+        np.testing.assert_array_equal(got, want)
+
+
+def test_sym_kl_zero_iff_equal_posteriors(rng):
+    mus, lvs, _ = _latents(rng, k=2)
+    same = losses.assoc_loss(
+        [jnp.asarray(mus[0])] * 2,
+        z_logvars=[jnp.asarray(lvs[0])] * 2,
+        form="sym_kl",
+    )
+    np.testing.assert_allclose(np.asarray(same), 0.0, atol=1e-6)
+    diff = losses.assoc_loss(
+        [jnp.asarray(m) for m in mus],
+        z_logvars=[jnp.asarray(v) for v in lvs],
+        form="sym_kl",
+    )
+    assert float(jnp.min(diff)) > 0.0  # Jeffreys divergence is positive-definite
+
+
+def test_sym_kl_pair_order_invariant(rng):
+    mus, lvs, _ = _latents(rng, k=2)
+    a = losses.assoc_loss(
+        [jnp.asarray(m) for m in mus],
+        z_logvars=[jnp.asarray(v) for v in lvs], form="sym_kl",
+    )
+    b = losses.assoc_loss(
+        [jnp.asarray(m) for m in mus[::-1]],
+        z_logvars=[jnp.asarray(v) for v in lvs[::-1]], form="sym_kl",
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_missing_operands_and_unknown_form_raise(rng):
+    mus, lvs, zs = _latents(rng, k=2)
+    mus = [jnp.asarray(m) for m in mus]
+    with pytest.raises(ValueError, match="sample_l2"):
+        losses.assoc_loss(mus, form="sample_l2")
+    with pytest.raises(ValueError, match="sym_kl"):
+        losses.assoc_loss(mus, form="sym_kl")
+    with pytest.raises(ValueError, match="unknown assoc_form"):
+        losses.assoc_loss(mus, form="js")
+    with pytest.raises(ValueError, match="unknown assoc_form"):
+        AssocConfig(
+            [ModalityConfig("image", default_image_arch(n_z=4, hidden=16))] * 1,
+            assoc_form="js",
+        )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end objective paths
+# ---------------------------------------------------------------------------
+
+
+def _cfg(form, hidden=24, n_z=4):
+    img = ModalityConfig("image", default_image_arch(n_z=n_z, hidden=hidden))
+    traj = ModalityConfig(
+        "trajectory",
+        default_traj_arch(n_timesteps=8, n_z=n_z, hidden=hidden),
+        recon="gaussian",
+    )
+    return AssocConfig([img, traj], assoc_lambda=1.0, assoc_form=form)
+
+
+def _batch(rng, b=16):
+    return [
+        jnp.asarray((rng.random((b, 784)) > 0.7).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, 16)).astype(np.float32)),
+    ]
+
+
+def _loss_and_grads(cfg, params, xs, *, use_pallas, eps):
+    def f(p):
+        return assoc_loss_fn(p, xs, cfg, eps=eps, use_pallas=use_pallas)[0]
+
+    total, grads = jax.value_and_grad(f)(params)
+    return total, grads
+
+
+@pytest.mark.parametrize("form", FORMS)
+def test_loss_fn_pallas_matches_jnp(rng, form):
+    """The fused-kernel path must agree with the jnp path in value AND
+    gradient for every form — non-default forms bypass the kernel's assoc
+    column (zero cotangent), coupling through XLA instead."""
+    cfg = _cfg(form)
+    params = init_assoc(jax.random.key(0), cfg)
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    t_j, g_j = _loss_and_grads(cfg, params, xs, use_pallas=False, eps=eps)
+    t_p, g_p = _loss_and_grads(cfg, params, xs, use_pallas=True, eps=eps)
+    np.testing.assert_allclose(float(t_j), float(t_p), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_j), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
+
+
+@pytest.mark.parametrize("form", ("sample_l2", "sym_kl", "infonce"))
+def test_mega_falls_back_for_nondefault_forms(rng, form):
+    """The megakernel only surfaces mu, so non-default forms must route to
+    the composable-kernel path — "mega" equals use_pallas=True exactly."""
+    cfg = _cfg(form)
+    params = init_assoc(jax.random.key(0), cfg)
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    t_m, g_m = _loss_and_grads(cfg, params, xs, use_pallas="mega", eps=eps)
+    t_p, g_p = _loss_and_grads(cfg, params, xs, use_pallas=True, eps=eps)
+    assert float(t_m) == float(t_p)
+    for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_p)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_forms_are_distinct_objectives(rng):
+    """Sanity that the switch actually changes the measured term."""
+    params = init_assoc(jax.random.key(0), _cfg("mean_l2"))
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    vals = {}
+    for form in FORMS:
+        _, m = assoc_loss_fn(params, xs, _cfg(form), eps=eps)
+        vals[form] = float(m["assoc"])
+    assert len({round(v, 8) for v in vals.values()}) == len(FORMS), vals
+
+
+@pytest.mark.parametrize("form", ("sample_l2", "sym_kl", "infonce"))
+def test_training_decreases_loss(rng, form):
+    cfg = _cfg(form)
+    tc = TrainConfig(batch_size=16, learning_rate=1e-3)
+    state = init_train_state(cfg, tc)
+    step = make_train_step(cfg, tc)
+    xs = _batch(rng)
+    first = None
+    for _ in range(50):
+        state, metrics = step(state, xs)
+        if first is None:
+            first = float(metrics["total"])
+    assert float(metrics["total"]) < first
+    assert np.isfinite(float(metrics["assoc"]))
+
+
+def test_config_roundtrip_and_legacy_default():
+    cfg = _cfg("sym_kl")
+    d = config_to_dict(cfg)
+    back, _ = config_from_dict(d)
+    assert back.assoc_form == "sym_kl"
+    assert back == cfg
+    d.pop("assoc_form")  # pre-round-3 model_config.json snapshots
+    legacy, _ = config_from_dict(d)
+    assert legacy.assoc_form == "mean_l2"
+
+
+def test_pp_loss_threads_form(rng):
+    """parallel/pp.py's loss body shares _assoc_per_sample — exercise the
+    helper directly on VAEOutputs so a signature drift fails here, not only
+    in the expensive PP suite."""
+    cfg = _cfg("sym_kl")
+    params = init_assoc(jax.random.key(0), cfg)
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    outs = assoc_mod.assoc_forward(params, xs, cfg, eps=eps)
+    per = assoc_mod._assoc_per_sample(outs, cfg)
+    want = losses.assoc_loss(
+        [o.z_mean for o in outs],
+        z_logvars=[o.z_logvar for o in outs],
+        form="sym_kl",
+    )
+    np.testing.assert_array_equal(np.asarray(per), np.asarray(want))
+
+
+def test_infonce_alignment_property(rng):
+    """Perfectly aligned, well-separated latents score ≈0; random pairings
+    score ≈log B (the chance-level contrastive loss)."""
+    b, nz = 32, 8
+    mu = rng.normal(size=(b, nz)).astype(np.float32) * 10.0
+    aligned = losses.assoc_loss(
+        [jnp.asarray(mu), jnp.asarray(mu)], form="infonce", temp=0.05
+    )
+    assert float(jnp.mean(aligned)) < 0.05
+    shuf = mu[rng.permutation(b)]
+    random_pairs = losses.assoc_loss(
+        [jnp.asarray(mu), jnp.asarray(shuf)], form="infonce", temp=0.05
+    )
+    assert float(jnp.mean(random_pairs)) > 1.0  # ~log(32) ≈ 3.5 at chance
+
+
+def test_infonce_temperature_knob(rng):
+    mus, _, _ = _latents(rng, k=2)
+    mus = [jnp.asarray(m) for m in mus]
+    a = losses.assoc_loss(mus, form="infonce", temp=0.1)
+    b = losses.assoc_loss(mus, form="infonce", temp=1.0)
+    assert float(jnp.mean(jnp.abs(a - b))) > 1e-4
+    with pytest.raises(ValueError, match="temperature"):
+        losses.assoc_loss(mus, form="infonce", temp=0.0)
+    with pytest.raises(ValueError, match="assoc_temp"):
+        dataclasses.replace(_cfg("infonce"), assoc_temp=-1.0)
+
+
+def test_infonce_dp_runs_and_learns(rng):
+    """Under shard_map DP, infonce contrasts against the LOCAL shard batch
+    (standard local-negatives — docs/PARALLEL.md), so it intentionally is
+    NOT trajectory-equal to the single-device step on the same global
+    batch; assert it runs, stays finite, and learns."""
+    from vae_assoc_tpu.parallel import (
+        init_dp_train_state,
+        make_dp_train_step,
+        make_mesh,
+        shard_batch,
+    )
+
+    cfg = _cfg("infonce")
+    tc = TrainConfig(batch_size=64, learning_rate=1e-3)
+    mesh = make_mesh(8)
+    state = init_dp_train_state(cfg, tc, mesh)
+    step_fn = make_dp_train_step(cfg, tc, mesh)
+    xs = shard_batch(
+        mesh,
+        [
+            (rng.random((64, 784)) > 0.7).astype(np.float32),
+            rng.normal(size=(64, 16)).astype(np.float32),
+        ],
+    )
+    totals = []
+    for _ in range(20):
+        state, metrics = step_fn(state, xs)
+        totals.append(float(metrics["total"]))
+    assert all(np.isfinite(totals))
+    assert totals[-1] < totals[0]
+
+
+def test_default_form_unchanged(rng):
+    """Guard the parity surface: an explicitly-defaulted config computes the
+    identical objective to a pre-assoc_form config object."""
+    cfg_new = _cfg("mean_l2")
+    cfg_old = dataclasses.replace(cfg_new)  # same values, separate instance
+    params = init_assoc(jax.random.key(0), cfg_new)
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    t_new, _ = assoc_loss_fn(params, xs, cfg_new, eps=eps)
+    t_old, _ = assoc_loss_fn(params, xs, cfg_old, eps=eps)
+    assert float(t_new) == float(t_old)
+    mus, lvs, zs = _latents(rng, k=2)
+    np.testing.assert_array_equal(
+        np.asarray(losses.assoc_loss([jnp.asarray(m) for m in mus])),
+        oracle.assoc_term(mus),
+    )

@@ -73,3 +73,21 @@ def test_train_step_clean_under_debug_nans(rng):
         step = make_train_step(cfg, tc)
         state, m = step(state, xs)
         assert np.isfinite(float(m["total"]))
+
+
+def test_empty_batch_rejected_at_host_boundary(rng):
+    """An off-the-end numpy slice produces an EMPTY batch; mean-of-nothing
+    would train on NaNs and silently poison the params. The host boundary
+    (api._host_xs) must reject it by name instead."""
+    model = vat.AssocVariationalAutoEncoder(
+        [TINY, TINY], recon_types=["bernoulli", "gaussian"], seed=0
+    )
+    imgs = rng.uniform(0, 1, (32, 24)).astype(np.float32)
+    trajs = rng.normal(size=(32, 24)).astype(np.float32)
+    with pytest.raises(ValueError, match="empty"):
+        model.partial_fit([imgs[100:164], trajs[100:164]])  # past the end
+    with pytest.raises(ValueError, match="empty"):
+        model.transform([imgs[:0], trajs[:0]])
+    # sane batches still flow
+    c = model.partial_fit([imgs, trajs])
+    assert np.isfinite(c)

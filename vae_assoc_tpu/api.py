@@ -45,6 +45,8 @@ class AssocVariationalAutoEncoder:
         names: Optional[Sequence[str]] = None,
         transfer_fct: str = "softplus",
         assoc_lambda: float = 1.0,
+        assoc_form: str = "mean_l2",
+        assoc_temp: float = 0.1,
         learning_rate: float = 1e-3,
         batch_size: int = 64,
         seed: int = 0,
@@ -68,6 +70,8 @@ class AssocVariationalAutoEncoder:
                     for nm, arch, rt in zip(names, network_architectures, recon_types)
                 ],
                 assoc_lambda=assoc_lambda,
+                assoc_form=assoc_form,
+                assoc_temp=assoc_temp,
             )
         self.train_config = train_config or TrainConfig(
             learning_rate=learning_rate, batch_size=batch_size, seed=seed
@@ -126,6 +130,14 @@ class AssocVariationalAutoEncoder:
         """asarray a batch list, validating a trailing cond entry host-side."""
         xs = [jnp.asarray(x) for x in xs]
         k = len(self.config.modalities)
+        for i, x in enumerate(xs[:k]):
+            # An empty slice (e.g. an off-the-end numpy window) would train
+            # on mean-of-nothing NaNs and silently poison the params.
+            if x.ndim < 1 or x.shape[0] == 0:
+                raise ValueError(
+                    f"batch for modality {i} ({self.config.modalities[i].name})"
+                    f" is empty: shape {tuple(x.shape)}"
+                )
         if self.config.n_cond and len(xs) == k + 1:
             xs[k] = self._host_cond(xs[k], int(xs[0].shape[0]))
         return xs

@@ -258,13 +258,36 @@ class AssocConfig:
     ``assoc_lambda`` weights the cross-modal latent-association term
     λ·Σ_{i<j} mean_batch ‖z_mean_i − z_mean_j‖² (BASELINE.json:5; SURVEY.md
     §2.1 "Associative joint VAE"). All modalities must share ``n_z``.
+
+    ``assoc_form`` selects the per-pair coupling (ops/losses.ASSOC_FORMS):
+    "mean_l2" (default — the reference reconstruction and the parity
+    surface), "sample_l2" (L2 on the reparameterized samples; gradients
+    reach σ), "sym_kl" (Jeffreys divergence between the Gaussian
+    posteriors), or "infonce" (CLIP-style symmetric contrastive loss on
+    the normalized latent means, rest-of-batch negatives, temperature
+    ``assoc_temp``; under shard_map DP the negatives are the LOCAL batch —
+    docs/PARALLEL.md). SURVEY.md §7 flags the reference's exact form as an
+    unverified [R] claim; shipping the candidate readings means a populated
+    reference mount is a config flip, not a rebuild.
     """
 
     modalities: Sequence[ModalityConfig]
     assoc_lambda: float = 1.0
+    assoc_form: str = "mean_l2"
+    assoc_temp: float = 0.1
 
     def __post_init__(self):
         object.__setattr__(self, "modalities", tuple(self.modalities))
+        from vae_assoc_tpu.ops.losses import ASSOC_FORMS
+
+        if self.assoc_form not in ASSOC_FORMS:
+            raise ValueError(
+                f"unknown assoc_form {self.assoc_form!r}; one of {ASSOC_FORMS}"
+            )
+        if self.assoc_temp <= 0:
+            raise ValueError(
+                f"assoc_temp must be > 0, got {self.assoc_temp}"
+            )
         if len(self.modalities) < 1:
             raise ValueError("need at least one modality")
         n_zs = {m.arch["n_z"] for m in self.modalities}
@@ -417,6 +440,8 @@ def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:
     written next to checkpoints so they are self-describing."""
     out = {
         "assoc_lambda": cfg.assoc_lambda,
+        "assoc_form": cfg.assoc_form,
+        "assoc_temp": cfg.assoc_temp,
         "modalities": [
             {
                 "name": m.name,
@@ -449,6 +474,10 @@ def config_from_dict(d: Mapping) -> tuple:
             for m in d["modalities"]
         ],
         assoc_lambda=d["assoc_lambda"],
+        # Absent in pre-round-3 snapshots: those models trained with the
+        # only form that existed, the default.
+        assoc_form=d.get("assoc_form", "mean_l2"),
+        assoc_temp=d.get("assoc_temp", 0.1),
     )
     tc = None
     if "train" in d:

@@ -112,6 +112,19 @@ def assoc_forward(
     )
 
 
+def _assoc_per_sample(outs, cfg: AssocConfig, *, ordered: bool = False):
+    """Per-sample association term in the configured form, from the
+    per-modality forward outputs (ops/losses.assoc_loss does the math)."""
+    return losses.assoc_loss(
+        [o.z_mean for o in outs],
+        z_logvars=[o.z_logvar for o in outs],
+        zs=[o.z for o in outs],
+        form=cfg.assoc_form,
+        temp=cfg.assoc_temp,
+        ordered=ordered,
+    )
+
+
 def assoc_loss_fn(
     params: dict,
     xs: Sequence[jax.Array],
@@ -145,10 +158,13 @@ def assoc_loss_fn(
         # point). Mirror vae._net_fns' fallback semantics: a conv modality,
         # a non-softplus transfer, conditioning, or a deeper arch dict
         # routes the whole loss through the composable-kernel path, which
-        # is depth-generic and itself falls back per modality.
+        # is depth-generic and itself falls back per modality. Non-default
+        # association forms fall back too: the megakernel only surfaces μ
+        # (sampled z and logσ² stay in-kernel), so sample_l2/sym_kl have
+        # nothing to couple.
         from vae_assoc_tpu.configs import gener_widths, recog_widths
 
-        if all(
+        if cfg.assoc_form == "mean_l2" and all(
             m.encoder == "mlp" and m.transfer == "softplus" and m.n_cond == 0
             and len(recog_widths(m.arch)) == 2 and len(gener_widths(m.arch)) == 2
             for m in cfg.modalities
@@ -190,16 +206,23 @@ def assoc_loss_fn(
             metrics[f"recon_{m.name}"] = col_means[i]
             metrics[f"kl_{m.name}"] = col_means[k + i]
             total = total + col_means[i] + col_means[k + i]
-        assoc = col_means[2 * k]
+        if cfg.assoc_form == "mean_l2":
+            assoc = col_means[2 * k]
+        else:
+            # The fused kernel's assoc column hard-codes the default
+            # mean-L2 form; other forms couple through plain XLA on the
+            # tensors already in registers here. The unused column gets a
+            # zero cotangent, so the kernel's bwd contributes no spurious
+            # dμ — gradient equality vs the jnp path is tested
+            # (tests/test_assoc_forms.py).
+            assoc = jnp.mean(_assoc_per_sample(outs, cfg))
     else:
         for m, x, out in zip(cfg.modalities, xs, outs):
             terms = vae_mod.vae_loss(out, x, m, parity_mode=parity_mode)
             metrics[f"recon_{m.name}"] = terms["recon"]
             metrics[f"kl_{m.name}"] = terms["kl"]
             total = total + terms["recon"] + terms["kl"]
-        per_sample_assoc = losses.assoc_loss(
-            [o.z_mean for o in outs], ordered=parity_mode
-        )
+        per_sample_assoc = _assoc_per_sample(outs, cfg, ordered=parity_mode)
         mean = losses.ordered_mean if parity_mode else jnp.mean
         assoc = mean(per_sample_assoc)
     metrics["assoc"] = assoc

@@ -118,19 +118,107 @@ def kl_divergence(z_mean, z_logvar, *, ordered: bool = False) -> jax.Array:
     return -0.5 * _sum(1.0 + lv - mu * mu - jnp.exp(lv), ordered=ordered)
 
 
-def assoc_loss(z_means, *, ordered: bool = False) -> jax.Array:
+#: Association-term forms (AssocConfig.assoc_form). "mean_l2" is the
+#: reference reconstruction's default (SURVEY.md §7 flags the exact form as
+#: a medium-confidence [R] claim — mean-L2 vs sampled-z-L2 vs symmetric-KL
+#: are the candidate readings, so all three ship as config options; the
+#: default keeps the parity surface). "infonce" is the modern CLIP-style
+#: contrastive alignment, beyond the reference's candidate set.
+ASSOC_FORMS = ("mean_l2", "sample_l2", "sym_kl", "infonce")
+
+
+def assoc_loss(
+    z_means,
+    *,
+    z_logvars=None,
+    zs=None,
+    form: str = "mean_l2",
+    temp: float = 0.1,
+    ordered: bool = False,
+) -> jax.Array:
     """Cross-modal latent-association term, shape [batch].
 
-    Per-sample Σ_{i<j} ‖μ_i − μ_j‖² over all modality pairs — the coupling
-    that pulls corresponding latent codes together (BASELINE.json:5
-    "cross-modal latent-association term"; SURVEY.md §2.1).
+    The coupling that pulls corresponding latent codes together
+    (BASELINE.json:5 "cross-modal latent-association term"; SURVEY.md §2.1),
+    summed over all modality pairs i<j. Four per-sample forms:
+
+    - ``"mean_l2"`` (default, the parity surface): ‖μ_i − μ_j‖².
+    - ``"sample_l2"``: ‖z_i − z_j‖² on the reparameterized samples — the
+      stochastic reading; gradients reach σ through the reparam path.
+      Requires ``zs`` (per-modality sampled latents).
+    - ``"sym_kl"``: Jeffreys divergence KL(p_i‖p_j) + KL(p_j‖p_i) between
+      the diagonal-Gaussian posteriors, closed form
+      ½ Σ_d [(σ_i² + Δμ²)/σ_j² + (σ_j² + Δμ²)/σ_i² − 2] (the log-variance
+      terms cancel in the symmetric sum). Requires ``z_logvars``.
+    - ``"infonce"``: CLIP-style symmetric contrastive loss on the
+      L2-normalized latent means — per sample b and pair (i,j),
+      ½[CE(row b of μ̂_i μ̂_jᵀ/τ) + CE(col b)] with the matched pair as the
+      positive and the REST OF THE BATCH as negatives (temperature ``temp``).
+      One [B,B] MXU matmul per pair. Batch-relative by construction: under
+      shard_map DP each shard contrasts against its LOCAL batch (the
+      standard local-negatives regime — docs/PARALLEL.md); the effective
+      objective therefore depends on the per-device batch size.
+
+    The L2/KL forms are transcendental-light row reductions; ``ordered=True``
+    pins the accumulation order (bit-reproducible vs the numpy oracle — the
+    sym_kl exp() terms agree to libm ULP like the KL term, docs/PARITY.md).
+    infonce's logsumexp has no reference counterpart to be bitwise against;
+    ``ordered`` is ignored there.
     """
+    if form not in ASSOC_FORMS:
+        raise ValueError(f"unknown assoc_form {form!r}; one of {ASSOC_FORMS}")
+    if form == "infonce":
+        return _infonce(z_means, temp)
+    if form == "sample_l2":
+        if zs is None:
+            raise ValueError("assoc_form='sample_l2' needs zs (sampled latents)")
+        pts = [_f32(z) for z in zs]
+    else:
+        pts = [_f32(z) for z in z_means]
+    if len(pts) < 2:
+        return jnp.zeros(pts[0].shape[0], dtype=jnp.float32)
+    total = jnp.zeros(pts[0].shape[0], dtype=jnp.float32)
+    if form == "sym_kl":
+        if z_logvars is None:
+            raise ValueError("assoc_form='sym_kl' needs z_logvars")
+        lvs = [_f32(v) for v in z_logvars]
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                d2 = jnp.square(pts[i] - pts[j])
+                vi, vj = jnp.exp(lvs[i]), jnp.exp(lvs[j])
+                term = 0.5 * ((vi + d2) / vj + (vj + d2) / vi - 2.0)
+                total = total + _sum(term, ordered=ordered)
+        return total
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d = pts[i] - pts[j]
+            total = total + _sum(d * d, ordered=ordered)
+    return total
+
+
+def _infonce(z_means, temp: float) -> jax.Array:
+    """Per-sample symmetric InfoNCE over all modality pairs, shape [batch].
+
+    Cosine-similarity logits (L2-normalized μ) so the scale is bounded and
+    ``temp`` means the same thing at any n_z; fp32 throughout. logsumexp is
+    the numerically-stable log-softmax denominator."""
+    if temp <= 0:
+        raise ValueError(f"infonce temperature must be > 0, got {temp}")
     zs = [_f32(z) for z in z_means]
+    b = zs[0].shape[0]
     if len(zs) < 2:
-        return jnp.zeros(zs[0].shape[0], dtype=jnp.float32)
-    total = jnp.zeros(zs[0].shape[0], dtype=jnp.float32)
+        return jnp.zeros(b, dtype=jnp.float32)
+    inv_t = jnp.float32(1.0 / temp)
+    normed = [
+        z * jax.lax.rsqrt(jnp.sum(z * z, axis=-1, keepdims=True) + 1e-12)
+        for z in zs
+    ]
+    total = jnp.zeros(b, dtype=jnp.float32)
     for i in range(len(zs)):
         for j in range(i + 1, len(zs)):
-            d = zs[i] - zs[j]
-            total = total + _sum(d * d, ordered=ordered)
+            logits = (normed[i] @ normed[j].T) * inv_t  # [B, B]
+            pos = jnp.diagonal(logits)
+            ce_row = jax.nn.logsumexp(logits, axis=1) - pos
+            ce_col = jax.nn.logsumexp(logits, axis=0) - pos
+            total = total + 0.5 * (ce_row + ce_col)
     return total

@@ -504,7 +504,7 @@ def _pp_loss(pp_params, xs, cfg, tc, key, n_stages, n_micro):
         metrics[f"recon_{m.name}"] = terms["recon"]
         metrics[f"kl_{m.name}"] = terms["kl"]
         total = total + terms["recon"] + terms["kl"]
-    assoc = jnp.mean(losses.assoc_loss([o.z_mean for o in outs]))
+    assoc = jnp.mean(assoc_mod._assoc_per_sample(outs, cfg))
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total

@@ -174,6 +174,16 @@ def build_argparser() -> argparse.ArgumentParser:
                    metavar="N",
                    help="linear 0->assoc_lambda ramp of the association "
                         "term over N optimizer updates")
+    p.add_argument("--assoc-form", default=None,
+                   choices=("mean_l2", "sample_l2", "sym_kl", "infonce"),
+                   help="association-term form: mean_l2 (default, the "
+                        "reference reconstruction), sample_l2 (L2 on the "
+                        "reparameterized samples), sym_kl (Jeffreys "
+                        "divergence between the Gaussian posteriors), "
+                        "infonce (CLIP-style contrastive on normalized "
+                        "latent means, rest-of-batch negatives)")
+    p.add_argument("--assoc-temp", type=float, default=None, metavar="T",
+                   help="infonce temperature (default 0.1)")
     p.add_argument("--depth", type=int, default=None, metavar="L",
                    help="hidden layers per MLP net (default 2 = the "
                         "reference architecture). Deeper stacks run the "
@@ -478,6 +488,18 @@ def main(argv=None) -> int:
             "with no tower boundary to checkpoint at"
         )
     cfg, tc = baseline_config(args.config, **overrides)
+    if args.assoc_form:
+        if len(cfg.modalities) < 2:
+            raise SystemExit(
+                "--assoc-form needs a multi-modality config (the "
+                "association term couples modality pairs)"
+            )
+        cfg = dataclasses.replace(cfg, assoc_form=args.assoc_form)
+    if args.assoc_temp is not None:
+        if (args.assoc_form or cfg.assoc_form) != "infonce":
+            raise SystemExit("--assoc-temp only applies with "
+                             "--assoc-form infonce")
+        cfg = dataclasses.replace(cfg, assoc_temp=args.assoc_temp)
     if args.depth is not None or args.hidden is not None:
         if args.depth is not None and args.depth < 1:
             raise SystemExit("--depth must be >= 1")
