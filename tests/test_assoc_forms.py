@@ -320,3 +320,55 @@ def test_default_form_unchanged(rng):
         np.asarray(losses.assoc_loss([jnp.asarray(m) for m in mus])),
         oracle.assoc_term(mus),
     )
+
+
+@pytest.mark.parametrize("form", ["sample_l2", "sym_kl"])
+def test_per_sample_forms_dp_gradient_matches_single_device(rng, form):
+    """The per-sample forms keep exact DP equality like the rest of the
+    objective (docs/PARALLEL.md): psum'd per-shard gradients == the
+    single-device gradient on the same global batch with the same ε.
+    (infonce is local-negatives by design and intentionally excluded —
+    test_infonce_dp_runs_and_learns.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from vae_assoc_tpu.parallel import make_mesh
+
+    cfg = _cfg(form)
+    params = init_assoc(jax.random.key(0), cfg)
+    b, nz = 32, cfg.n_z
+    xs = _batch(rng, b)
+    eps = [jnp.asarray(rng.normal(size=(b, nz)).astype(np.float32))
+           for _ in range(2)]
+
+    def loss(p, xs, eps):
+        return assoc_loss_fn(p, xs, cfg, eps=eps)[0]
+
+    g_ref = jax.grad(loss)(params, xs, eps)
+
+    mesh = make_mesh(8)
+
+    def shard_loss_grad(p, xs, eps):
+        return jax.grad(
+            lambda p: jax.lax.pmean(loss(p, list(xs), list(eps)), "data")
+        )(p)
+
+    g_dp = jax.jit(
+        jax.shard_map(
+            shard_loss_grad, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")), out_specs=P(),
+        )
+    )(params, xs, eps)
+    for a, want in zip(jax.tree.leaves(g_dp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(want), rtol=2e-5, atol=1e-6
+        )
+
+
+def test_nondefault_form_rejected_on_single_modality():
+    """assoc_loss returns zeros for <2 modalities, so a non-default form on
+    a single-modality config is a coupling that never fires — AssocConfig
+    must reject it rather than silently no-op."""
+    img = ModalityConfig("image", default_image_arch(n_z=4, hidden=24))
+    with pytest.raises(ValueError, match="needs >= 2 modalities"):
+        AssocConfig([img], assoc_form="infonce")
+    AssocConfig([img])  # default form stays fine single-modality

@@ -290,6 +290,13 @@ class AssocConfig:
             )
         if len(self.modalities) < 1:
             raise ValueError("need at least one modality")
+        if self.assoc_form != "mean_l2" and len(self.modalities) < 2:
+            # assoc_loss returns zeros for <2 modalities; a non-default form
+            # on a single-modality config is a coupling that never fires.
+            raise ValueError(
+                f"assoc_form={self.assoc_form!r} needs >= 2 modalities "
+                "(the association term couples modality pairs)"
+            )
         n_zs = {m.arch["n_z"] for m in self.modalities}
         if len(n_zs) != 1:
             raise ValueError(f"all modalities must share n_z; got {n_zs}")

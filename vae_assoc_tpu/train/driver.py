@@ -99,6 +99,7 @@ def _dry_compile(cfg, tc) -> int:
 
 
 def build_argparser() -> argparse.ArgumentParser:
+    from vae_assoc_tpu.ops.losses import ASSOC_FORMS  # the one source
     p = argparse.ArgumentParser(
         prog="vae_assoc_tpu.train.driver", description=__doc__
     )
@@ -175,7 +176,7 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="linear 0->assoc_lambda ramp of the association "
                         "term over N optimizer updates")
     p.add_argument("--assoc-form", default=None,
-                   choices=("mean_l2", "sample_l2", "sym_kl", "infonce"),
+                   choices=ASSOC_FORMS,
                    help="association-term form: mean_l2 (default, the "
                         "reference reconstruction), sample_l2 (L2 on the "
                         "reparameterized samples), sym_kl (Jeffreys "
@@ -489,16 +490,20 @@ def main(argv=None) -> int:
         )
     cfg, tc = baseline_config(args.config, **overrides)
     if args.assoc_form:
-        if len(cfg.modalities) < 2:
+        if args.assoc_form != "mean_l2" and len(cfg.modalities) < 2:
             raise SystemExit(
-                "--assoc-form needs a multi-modality config (the "
-                "association term couples modality pairs)"
+                f"--assoc-form {args.assoc_form} needs a multi-modality "
+                "config (the association term couples modality pairs)"
             )
         cfg = dataclasses.replace(cfg, assoc_form=args.assoc_form)
     if args.assoc_temp is not None:
         if (args.assoc_form or cfg.assoc_form) != "infonce":
             raise SystemExit("--assoc-temp only applies with "
                              "--assoc-form infonce")
+        if args.assoc_temp <= 0:
+            raise SystemExit(
+                f"--assoc-temp must be > 0, got {args.assoc_temp}"
+            )
         cfg = dataclasses.replace(cfg, assoc_temp=args.assoc_temp)
     if args.depth is not None or args.hidden is not None:
         if args.depth is not None and args.depth < 1:
