@@ -100,3 +100,61 @@ def test_native_empty_file_matches_python(uji_file, tmp_path):
     np.testing.assert_array_equal(both["points"], ref["points"])
     np.testing.assert_array_equal(both["lengths"], ref["lengths"])
     assert both["label_names"] == ref["label_names"]
+
+
+def test_native_differential_fuzz(tmp_path):
+    """Differential fuzz: on ANY input the C++ and Python parsers must agree
+    on accept/reject and, on accept, be bit-identical. The Python twin's
+    contract is regex-anchored (malformed WORD/POINTS lines are silently
+    IGNORED, not errors; value conversion raises; count mismatch raises) —
+    round-3 fuzzing found the native parser erroring where Python ignores,
+    which would kick whole multi-file loads off the native path."""
+    if not native.available():
+        pytest.skip("no native toolchain")
+    import random
+
+    from vae_assoc_tpu.data.uji import _load_native, _load_python
+
+    tokens = [
+        "WORD", "NUMSTROKES", "POINTS", "#", "//", "a", "b", "w01", "",
+        "0", "1", "2", "3", "-1", "4.5", "-7.25", "1e3", "nan", "inf",
+        "x", "99999999999999999999", "POINTS 3 # 1 2 3 4 5 6",
+        "WORD a w01", "NUMSTROKES 1", "POINTS 2 # 1 2 3 4",
+        "POINTS 1 #5 6", "POINTS 0 #", "WORD", "POINTS -1 # 1 2",
+        "POINTS x # 1 2", "POINTS 2 2 # 1 2 3 4", "\t", " ", "\r",
+        "0x1A", "nan(12)", "infinity", "POINTS 1 # 1 2 x",
+        "POINTS 1 #1 2", "+5", "5.", ".5", "1e", "007",
+        "POINTS 007 # 1 2", "WORD\rPOINTS 1 # 1 2", "POINTS 1 # 1e999 2",
+    ]
+    rng = random.Random(0)
+    path = str(tmp_path / "fuzz.txt")
+    for case in range(400):
+        n_lines = rng.randrange(0, 20)
+        lines = [
+            rng.choice(tokens) if rng.random() < 0.5
+            else " ".join(rng.choice(tokens) for _ in range(rng.randrange(1, 6)))
+            for _ in range(n_lines)
+        ]
+        text = "\n".join(lines) + ("\n" if rng.random() < 0.8 else "")
+        with open(path, "w") as f:
+            f.write(text)
+        mp = rng.choice([4, 16, 64])
+        try:
+            py = _load_python([path], mp)
+            py_err = None
+        except Exception as e:
+            py, py_err = None, e
+        try:
+            cc = _load_native([path], mp)
+            cc_err = None
+        except Exception as e:
+            cc, cc_err = None, e
+        assert (py is None) == (cc is None), (
+            f"case {case}: accept/reject divergence py={py_err} cc={cc_err}\n"
+            f"input: {text!r}"
+        )
+        if py is not None:
+            (pp, pl, pn), (cp, cl, cn) = py[0], cc[0]
+            assert pn == cn and np.array_equal(pl, cl) and np.array_equal(pp, cp), (
+                f"case {case}: output divergence\ninput: {text!r}"
+            )
