@@ -86,6 +86,32 @@ def test_fused_loss_ragged_batch(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+def test_fused_loss_without_assoc_column(rng):
+    """with_assoc=False returns [B, 2K] (no dead mean-L2 column — round-3
+    ADVICE finding) with identical recon/kl values AND gradients."""
+    xs, recons, mus, lvs = _data(rng, b=37)  # ragged tile too
+    got = joint_loss_terms_fused(KINDS, xs, recons, mus, lvs, with_assoc=False)
+    ref = _reference_terms(xs, recons, mus, lvs)
+    assert got.shape == (37, 4)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref[:, :4]), rtol=1e-5, atol=1e-5
+    )
+
+    w = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    def total_fused(recons, mus, lvs):
+        t = joint_loss_terms_fused(KINDS, xs, recons, mus, lvs, with_assoc=False)
+        return jnp.mean(t @ w)
+
+    def total_ref(recons, mus, lvs):
+        return jnp.mean(_reference_terms(xs, recons, mus, lvs)[:, :4] @ w)
+
+    g_f = jax.grad(total_fused, argnums=(0, 1, 2))(recons, mus, lvs)
+    g_r = jax.grad(total_ref, argnums=(0, 1, 2))(recons, mus, lvs)
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_fused_loss_in_assoc_matches_jnp_path(rng):
     """assoc_loss_fn(use_pallas=True) == use_pallas=False with same ε."""
     from vae_assoc_tpu.configs import AssocConfig, ModalityConfig

@@ -132,3 +132,43 @@ def test_train_step_with_megakernel_learns(rng):
         state, m = step(state, xs)
         hist.append(float(m["total"]))
     assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+def test_mega_fallback_warns_with_reason(rng):
+    """use_pallas='mega' on a config the megakernel cannot serve must warn
+    (once per trace) instead of silently dropping to the composable
+    kernels (VERDICT r3 weak #2) — and mega_fallback_reason is the one
+    source for the gate."""
+    import warnings
+
+    deep_arch = dict(ARCH, n_hidden_recog_3=16)
+    cfg = AssocConfig(
+        [
+            ModalityConfig("image", deep_arch, recon="bernoulli"),
+            ModalityConfig("trajectory", ARCH, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+    assert "depth-2" in assoc_mod.mega_fallback_reason(cfg)
+    params = assoc_mod.init_assoc(jax.random.key(0), cfg)
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (16, 36)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 36)).astype(np.float32)),
+    ]
+    eps = [jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32)) for _ in range(2)]
+    with pytest.warns(UserWarning, match="fell back to the composable"):
+        assoc_mod.assoc_loss_fn(params, xs, cfg, eps=eps, use_pallas="mega")
+
+    # The mega-eligible config must NOT warn.
+    cfg_ok = AssocConfig(
+        [
+            ModalityConfig("image", ARCH, recon="bernoulli"),
+            ModalityConfig("trajectory", ARCH, recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+    assert assoc_mod.mega_fallback_reason(cfg_ok) is None
+    params_ok = assoc_mod.init_assoc(jax.random.key(0), cfg_ok)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assoc_mod.assoc_loss_fn(params_ok, xs, cfg_ok, eps=eps, use_pallas="mega")

@@ -158,3 +158,34 @@ def test_native_differential_fuzz(tmp_path):
             assert pn == cn and np.array_equal(pl, cl) and np.array_equal(pp, cp), (
                 f"case {case}: output divergence\ninput: {text!r}"
             )
+
+
+def test_native_rejects_non_ascii(tmp_path):
+    """The native parser's parity contract is bytes-are-ASCII (the C++
+    twin tokenizes raw bytes; Python decodes UTF-8 and uses unicode-aware
+    splitlines/regexes, so U+0085/U+2028/U+00A0/unicode digits could
+    diverge). The dispatch boundary enforces it: native='always' raises
+    loudly, 'auto' falls back to the Python parse (round-3 ADVICE)."""
+    if not native.available():
+        pytest.skip("no native toolchain")
+    from vae_assoc_tpu.data.uji import _load_native, load_uji_files
+
+    # U+0085 (NEL) inside a NUMSTROKES line: unicode-aware splitlines
+    # breaks the line there, raw ASCII byte handling would not — exactly
+    # the divergence class the guard exists for.
+    text = "WORD a w01\nNUMSTROKES 1\u0085garbage\nPOINTS 2 # 1 2 3 4\n"
+    p = tmp_path / "nel.txt"
+    p.write_text(text, encoding="utf-8")
+    with pytest.raises(ValueError, match="ASCII"):
+        _load_native([str(p)], 16)
+    auto = load_uji_files([str(p)], max_points=16, native="auto")
+    never = load_uji_files([str(p)], max_points=16, native="never")
+    assert auto["label_names"] == never["label_names"]
+    np.testing.assert_array_equal(auto["points"], never["points"])
+    np.testing.assert_array_equal(auto["lengths"], never["lengths"])
+
+    # Pure-ASCII parse of the same shape stays on the native path.
+    ok = tmp_path / "ok.txt"
+    ok.write_text("WORD a w01\nNUMSTROKES 1\nPOINTS 2 # 1 2 3 4\n")
+    (got,) = _load_native([str(ok)], 16)
+    assert got[2] == ["a"]

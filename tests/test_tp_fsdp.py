@@ -165,7 +165,8 @@ def test_tp_fsdp_train_loop_learns(mesh, rng):
 
 def test_tp_fsdp_misuse_fails_loudly(mesh):
     cfg = tiny_cfg()
-    with pytest.raises(ValueError, match="[Pp]allas"):
+    # Must signpost the kernel-keeping --zero alternative (VERDICT r3 #6).
+    with pytest.raises(ValueError, match="(?s)[Pp]allas.*--zero"):
         make_tp_fsdp_train_step(cfg, TrainConfig(batch_size=8, use_pallas=True), mesh)
     flat_mesh = make_mesh(N_DEV)
     with pytest.raises(ValueError, match="mesh"):

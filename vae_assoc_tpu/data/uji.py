@@ -142,6 +142,21 @@ def _load_native(paths, max_points):
 
     out = []
     for p in paths:
+        # Parity contract with the Python twin is BYTES-ARE-ASCII: the C++
+        # parser splits/tokenizes raw bytes, while Python decodes UTF-8 and
+        # uses unicode-aware splitlines (U+0085/U+2028/U+2029 also break
+        # lines) and unicode \s/\d regexes. Real UJI v2 files are ASCII;
+        # anything else routes to the Python parser rather than risk a
+        # silent accept/reject divergence (round-3 ADVICE finding; fuzzed
+        # in tests/test_native.py::test_native_rejects_non_ascii).
+        with open(p, "rb") as f:
+            raw = f.read()
+        if not raw.isascii():
+            raise ValueError(
+                f"{p}: non-ASCII bytes — the native UJI parser's parity "
+                "contract is ASCII-only; use native='never' (or 'auto', "
+                "which falls back) for this file"
+            )
         r = native.parse_uji_file_native(p, max_points)
         out.append((r["points"], r["lengths"], r["names"]))
     return out

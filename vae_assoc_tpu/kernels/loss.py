@@ -33,7 +33,7 @@ def _row_sum(x):
     return jnp.sum(x, axis=-1, keepdims=True)
 
 
-def _loss_kernel(kinds, *refs):
+def _loss_kernel(kinds, with_assoc, *refs):
     k = len(kinds)
     out_ref = refs[-1]
     xs = refs[:k]
@@ -55,17 +55,18 @@ def _loss_kernel(kinds, *refs):
         mu = mu_ref[:]
         lv = lv_ref[:]
         cols.append(-0.5 * _row_sum(1.0 + lv - mu * mu - jnp.exp(lv)))
-    assoc = jnp.zeros_like(cols[0])
-    for i in range(k):
-        for j in range(i + 1, k):
-            d = mus[i][:] - mus[j][:]
-            assoc = assoc + _row_sum(d * d)
-    cols.append(assoc)
+    if with_assoc:
+        assoc = jnp.zeros_like(cols[0])
+        for i in range(k):
+            for j in range(i + 1, k):
+                d = mus[i][:] - mus[j][:]
+                assoc = assoc + _row_sum(d * d)
+        cols.append(assoc)
     for c, col in enumerate(cols):
         out_ref[:, c : c + 1] = col
 
 
-def _loss_bwd_kernel(kinds, refs, douts):
+def _loss_bwd_kernel(kinds, with_assoc, refs, douts):
     """refs: (g_ref, xs…, recons…, mus…, lvs…);
     douts: (drecons…, dmus…, dlvs…) — the kernel's output refs. The input
     cotangents dxs are NOT kernel outputs: `_loss_bwd` derives them in XLA
@@ -98,11 +99,12 @@ def _loss_bwd_kernel(kinds, refs, douts):
         lv = lvs[i][:]
         dmu = mu * g_kl
         dlv = 0.5 * (jnp.exp(lv) - 1.0) * g_kl
-        g_as = g[:, 2 * k : 2 * k + 1]
-        for j in range(k):
-            if j == i:
-                continue
-            dmu = dmu + 2.0 * (mu - mus[j][:]) * g_as
+        if with_assoc:
+            g_as = g[:, 2 * k : 2 * k + 1]
+            for j in range(k):
+                if j == i:
+                    continue
+                dmu = dmu + 2.0 * (mu - mus[j][:]) * g_as
         dmus[i][:] = dmu
         dlvs[i][:] = dlv
 
@@ -123,11 +125,16 @@ def _loss_tile(b, arrays, n_live=4):
     return _batch_tile(b, limit=min(limit, 512))
 
 
-def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
+def joint_loss_terms_fused(kinds, xs, recons, mus, lvs, with_assoc=True):
     """Per-sample loss matrix [B, 2K+1]: recon_0..K, kl_0..K, assoc.
 
     kinds: tuple of "bernoulli"/"gaussian" per modality (static).
     xs/recons: per-modality [B, D_k]; mus/lvs: per-modality [B, n_z].
+    with_assoc=False (static) drops the mean-L2 assoc column — both its
+    forward work and its backward dμ — returning [B, 2K]: the caller is
+    coupling through a non-default assoc form computed outside the kernel
+    (models/assoc.py), so the hard-coded column would be dead forward work
+    every step (round-3 ADVICE finding).
 
     The shard_map-on-CPU fallback gate lives HERE, in a plain wrapper,
     not inside the custom_vjp primal: `jax.grad` traces the fwd rule
@@ -150,42 +157,48 @@ def joint_loss_terms_fused(kinds, xs, recons, mus, lvs):
             else:
                 cols.append(l.gaussian_recon(x, r))
         cols += [l.kl_divergence(m, v) for m, v in zip(mus, lvs)]
-        cols.append(l.assoc_loss(list(mus)))
+        if with_assoc:
+            cols.append(l.assoc_loss(list(mus)))
         return jnp.stack(cols, axis=-1)
-    return _loss_terms_pallas(kinds, xs, recons, mus, lvs)
+    return _loss_terms_pallas(kinds, with_assoc, xs, recons, mus, lvs)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _loss_terms_pallas(kinds, xs, recons, mus, lvs):
-    return _loss_fwd(kinds, xs, recons, mus, lvs)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _loss_terms_pallas(kinds, with_assoc, xs, recons, mus, lvs):
+    return _loss_fwd(kinds, with_assoc, xs, recons, mus, lvs)[0]
 
 
-def _loss_fwd(kinds, xs, recons, mus, lvs):
+def _loss_fwd(kinds, with_assoc, xs, recons, mus, lvs):
     k = len(kinds)
+    ncols = 2 * k + 1 if with_assoc else 2 * k
     b = xs[0].shape[0]
     args = [a.astype(jnp.float32) for a in (*xs, *recons, *mus, *lvs)]
     tile = _loss_tile(b, args)
     out = pl.pallas_call(
-        functools.partial(_loss_kernel, kinds),
+        functools.partial(_loss_kernel, kinds, with_assoc),
         grid=(pl.cdiv(b, tile),),
         in_specs=[_row_spec(tile, a.shape[-1]) for a in args],
-        out_specs=_row_spec(tile, 2 * k + 1),
-        out_shape=_sds((b, 2 * k + 1), jnp.float32, args[0]),
+        out_specs=_row_spec(tile, ncols),
+        out_shape=_sds((b, ncols), jnp.float32, args[0]),
         interpret=_interpret(),
     )(*args)
     return out, (tuple(args),)
 
 
-def _loss_bwd(kinds, res, g):
+def _loss_bwd(kinds, with_assoc, res, g):
     (args,) = res
     k = len(kinds)
+    ncols = 2 * k + 1 if with_assoc else 2 * k
     xs = args[:k]
     recons = args[k : 2 * k]
     mus = args[2 * k : 3 * k]
     lvs = args[3 * k : 4 * k]
 
     def kern(*refs_and_outs):
-        _loss_bwd_kernel(kinds, refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :])
+        _loss_bwd_kernel(
+            kinds, with_assoc,
+            refs_and_outs[: 1 + 4 * k], refs_and_outs[1 + 4 * k :],
+        )
 
     out_shapes = tuple(
         _sds(a.shape, jnp.float32, a) for a in (*recons, *mus, *lvs)
@@ -195,7 +208,7 @@ def _loss_bwd(kinds, res, g):
     grads = pl.pallas_call(
         kern,
         grid=(pl.cdiv(b, tile),),
-        in_specs=[_row_spec(tile, 2 * k + 1)]
+        in_specs=[_row_spec(tile, ncols)]
         + [_row_spec(tile, a.shape[-1]) for a in args],
         out_specs=tuple(_row_spec(tile, s.shape[-1]) for s in out_shapes),
         out_shape=out_shapes,

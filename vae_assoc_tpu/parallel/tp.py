@@ -171,7 +171,10 @@ def _check_tp_mesh(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
         raise ValueError(
             "TP runs the jnp model path: Pallas kernels are single-chip "
             "programs and do not split along feature dims. Use "
-            "TrainConfig(use_pallas=False) with tensor parallelism."
+            "TrainConfig(use_pallas=False) with tensor parallelism, or — if "
+            "the goal is sharding STATE while keeping the kernels — the "
+            "shard_map ZeRO layout (parallel/zero.py, driver --zero); see "
+            "the chooser table in docs/PARALLEL.md."
         )
 
 
