@@ -423,12 +423,16 @@ def convt3x3_s2(x, w_hwio, b, *, compute_dtype=jnp.float32):
     bsz, h, w_img, cin = x.shape
     cout = w_hwio.shape[3]
     oh_total = 2 * h
-    kk, nn = (w_img + 2) * cin, 2 * w_img * cout  # cols padded (1,1) into K
-    # Cols pad (1,1) in XLA (one fused copy — the lane-dim zeros cannot be
-    # concatenated row-wise in VMEM); rows pad (1,1) inside the kernel.
-    x3 = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0))).reshape(bsz, h, kk)
+    # The (1,1) column padding is absorbed into the BAND MATRICES instead of
+    # the input: the padded columns contribute 0 · M[pad rows], so slicing
+    # those cin-row blocks off Ms is exactly equivalent — and the padded
+    # [B, h, (w+2)·cin] copy (convt1 ~33 MB, convt2 ~58 MB per step at
+    # batch 2048) never materializes in HBM, K shrinks by 2·cin, and the
+    # backward's dx comes out unpadded for free (round 4; rows still pad
+    # (1,1) inside the kernel).
+    x3 = x.reshape(bsz, h, w_img * cin)
     bands = _band_mats_t2(w_img)
-    ms = _build_ms(w_hwio, bands, cin, cout)
+    ms = _build_ms(w_hwio, bands, cin, cout)[:, cin : (w_img + 1) * cin, :]
     # Groups: even rows (dy 0 at rows q, dy 2 at rows q+1), odd rows (dy 1
     # at rows q+1); all stride-1 contiguous row slices of length h.
     # interleave=True: the kernel writes both parity groups into ONE
