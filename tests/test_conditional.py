@@ -199,21 +199,35 @@ def test_conditional_kernel_parity(use_pallas):
     )
 
 
-def test_mega_falls_back_to_composable():
-    """use_pallas='mega' on a conditional config must route through the
-    composable path (the megakernel's decoder consumes z in-kernel, so
-    there is no concat insertion point) — results identical to
-    use_pallas=True."""
+def test_mega_conditional_parity():
+    """use_pallas='mega' now serves conditional configs directly (round 4:
+    the cond widens the encoder input at the call boundary and the kernel
+    re-reads its columns at the decoder concat point) — loss, metrics, AND
+    param grads must match the jnp path with identical injected ε."""
     cfg = _cfg()
     params = assoc_mod.init_assoc(jax.random.key(1), cfg)
     xs = _batch()
     eps = [jnp.asarray(np.random.RandomState(3).randn(16, 20), jnp.float32)
            for _ in range(2)]
+    # No fallback: the gate must accept the conditional config.
+    assert assoc_mod.mega_fallback_reason(cfg) is None
     t_mega, m_mega = assoc_mod.assoc_loss_fn(
         params, xs, cfg, eps=eps, use_pallas="mega")
-    t_comp, m_comp = assoc_mod.assoc_loss_fn(
-        params, xs, cfg, eps=eps, use_pallas=True)
-    np.testing.assert_array_equal(np.asarray(t_mega), np.asarray(t_comp))
+    t_ref, m_ref = assoc_mod.assoc_loss_fn(
+        params, xs, cfg, eps=eps, use_pallas=False)
+    np.testing.assert_allclose(float(t_mega), float(t_ref), rtol=1e-5)
+    for k in m_ref:
+        np.testing.assert_allclose(
+            float(m_mega[k]), float(m_ref[k]), rtol=1e-5, err_msg=k)
+
+    g_m = jax.grad(
+        lambda p: assoc_mod.assoc_loss_fn(p, xs, cfg, eps=eps, use_pallas="mega")[0]
+    )(params)
+    g_r = jax.grad(
+        lambda p: assoc_mod.assoc_loss_fn(p, xs, cfg, eps=eps, use_pallas=False)[0]
+    )(params)
+    for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
 def test_dp_shard_map_with_cond():

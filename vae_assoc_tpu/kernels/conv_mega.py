@@ -1,0 +1,508 @@
+"""Conv-tower megakernel: config-4's whole conv VAE tower as ONE forward
+`pallas_call` per direction (encoder: conv1→softplus→conv2→softplus→
+dense→heads; decoder: dense1→dense2→convt1→softplus→convt2→loss), with an
+all-XLA backward over saved post-activations.
+
+Why (VERDICT r3 #1): the round-3 ledger (docs/PERF.md "Conv kernels")
+attributed ~55% of the remaining banded-vs-XLA e2e gap to XLA fusing its
+convs with the surrounding softplus/bias/dense/loss ops across what are
+hard `pallas_call` boundaries for the composable banded kernels — the
+same disease the MLP tower megakernel (kernels/megakernel.py) cured.
+This module fuses each direction's SIX composable launches (3 convs/
+denses + elementwise epilogues) into one, so every intermediate
+activation is consumed in VMEM where it is produced; the decoder output
+x̂ — the widest tensor, [B, 784] — additionally never leaves VMEM on the
+forward (the loss reduces it in-kernel to a per-sample scalar, exactly
+like the MLP megakernel; it is saved once as `r` for the backward).
+
+The convolution formulation inside the kernel is the measured round-2/3
+winner unchanged — banded matmuls against M matrices built differentiably
+in XLA (kernels/conv_banded.py's `_build_ms`/`_band_mats_*`; the transposed
+convs' (1,1) column padding is absorbed into the M rows, see
+`conv_banded.convt3x3_s2`) — so this kernel's delta vs the composable path
+is purely the launch/boundary structure, which is what the ledger said to
+attack.
+
+Backward: deliberately NOT Pallas. The round-3 lesson (docs/PERF.md):
+a Pallas kernel whose weights + grad accumulators + activations cannot
+all sit in VMEM loses to XLA's free tiling — and the conv backward was
+measured exactly there (the round-2 dM kernel squeezed batch tiles to 8
+rows and was deleted for XLA einsums). So the forward saves each
+post-softplus activation once (one HBM write each — the composable path
+writes the same tensors as kernel outputs anyway) and the VJP replays the
+tower in XLA: `conv_banded._banded_bwd`'s einsum math for the four convs,
+plain matmuls for the dense layers, with σ(pre) recovered from the saved
+post-activations as 1 − e^(−softplus(pre)) (no pre-activations stored).
+
+Scope mirrors kernels/megakernel.py: this is the training step's internal
+engine (``use_pallas="mega"`` on conv modalities), not a public composable
+op; its VJP returns zero cotangents for x and ε under the same documented
+closed-world invariant (train/step.py differentiates params only). ε is
+drawn in XLA ([B, n_z] is trivial HBM traffic — n_z·4 bytes/sample —
+unlike the MLP mega's in-kernel x̂, so an on-core PRNG buys nothing here).
+
+Parity (fwd values + full param grads vs the models.conv jnp path):
+tests/test_conv_mega.py. Measured A/B vs XLA convs and the composable
+banded kernels: scripts/bench_conv_mega.py → docs/PERF.md.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vae_assoc_tpu.kernels.conv_banded import (
+    _band_mats_s2,
+    _band_mats_t2,
+    _banded_bwd,
+    _build_ms,
+    _pad_rows,
+    _select_rows,
+)
+from vae_assoc_tpu.kernels.mlp import (
+    _fwd_compiler_params,
+    _interpret,
+    _lane,
+    _mm,
+    _mm_nt,
+    _mm_tn,
+    _pow2_tile,
+    _pvary_like,
+    _row_mask,
+    _sds,
+    _shardmap_interpret,
+    _softplus,
+)
+from vae_assoc_tpu.models.conv import (
+    C1,
+    C2,
+    IMG_SIZE,
+    _MID,
+    _SMALL,
+    _precision,
+)
+
+# Banded plans (row selections into the row-padded input view), identical
+# to conv_banded.conv3x3_s2 / convt3x3_s2:
+_PLAN_S = (((0, 2, 0), (1, 2, 1), (2, 2, 2)),)  # strided conv, one group
+_PLAN_T = (((0, 1, 0), (1, 1, 2)), ((1, 1, 1),))  # transposed, row parity
+
+_N_CHUNK = _SMALL  # the dense<->conv boundary moves in 7 row-chunks of 448
+_CHUNK = _SMALL * C2  # 448 lanes per chunk
+
+
+def _dsp(post):
+    """softplus'(pre) = σ(pre), recovered from the POST-activation:
+    σ(a) = 1 − e^(−softplus(a)) exactly (softplus(a) ≥ 0, so this is
+    numerically safe) — lets the backward run from saved post-activations
+    with no pre-activation storage."""
+    return 1.0 - jnp.exp(-post)
+
+
+# ---------------------------------------------------------------------------
+# Param → kernel-operand transform (XLA, differentiable — jax.grad chains
+# through it, so the custom VJP below only owes cotangents for these).
+# ---------------------------------------------------------------------------
+
+
+def transform_conv_params(params):
+    """Flatten + pre-transform a models.conv param tree for the kernels:
+    band M matrices built (transposed convs' column pads absorbed into M
+    rows), per-channel biases tiled onto the ow·cout lane layout, dense
+    weights viewed in the 7-chunk layout the kernels consume."""
+    r, g = params["recog"], params["gener"]
+    m1 = _build_ms(r["conv1"]["w"], _band_mats_s2(IMG_SIZE, _MID), 1, C1)
+    m2 = _build_ms(r["conv2"]["w"], _band_mats_s2(_MID, _SMALL), C1, C2)
+    mt1 = _build_ms(g["convt1"]["w"], _band_mats_t2(_SMALL), C2, C1)
+    mt1 = mt1[:, C2 : (_SMALL + 1) * C2, :]
+    mt2 = _build_ms(g["convt2"]["w"], _band_mats_t2(_MID), C1, 1)
+    mt2 = mt2[:, C1 : (_MID + 1) * C1, :]
+    return (
+        m1,                                   # [3, 28·1, 14·C1]
+        jnp.tile(r["conv1"]["b"], _MID)[None, :],     # [1, 14·C1]
+        m2,                                   # [3, 14·C1, 7·C2]
+        jnp.tile(r["conv2"]["b"], _SMALL)[None, :],   # [1, 7·C2]
+        r["dense"]["w"].reshape(_N_CHUNK, _CHUNK, -1),  # [7, 448, hr]
+        r["dense"]["b"][None, :],
+        r["out_mean"]["w"], r["out_mean"]["b"][None, :],
+        r["out_logvar"]["w"], r["out_logvar"]["b"][None, :],
+        g["dense1"]["w"], g["dense1"]["b"][None, :],
+        g["dense2"]["w"].reshape(-1, _N_CHUNK, _CHUNK),  # [hg, 7, 448]
+        g["dense2"]["b"].reshape(_N_CHUNK, _CHUNK),      # [7, 448]
+        mt1,                                  # [3, 7·C2, 14·C1]
+        jnp.tile(g["convt1"]["b"], 2 * _SMALL)[None, :],  # [1, 14·C1]
+        mt2,                                  # [3, 14·C1, 28·1]
+        jnp.tile(g["convt2"]["b"], 2 * _MID)[None, :],    # [1, 28·1]
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-kernel banded conv: the conv_banded forward math on VMEM values.
+# ---------------------------------------------------------------------------
+
+
+def _banded_vmem(x, ms, plan, oh, cd, pad):
+    """x [tile, h, K] (VMEM value) → per-group [tile·oh, N] matmul sums —
+    the body of conv_banded's `_banded_fwd_kernel`, reused on values that
+    never left VMEM."""
+    xp = _pad_rows(x, pad)
+    outs = []
+    for entries in plan:
+        acc = None
+        for start, stride, mi in entries:
+            t = _mm(_select_rows(xp, start, stride, oh), ms[mi], cd)
+            acc = t if acc is None else acc + t
+        outs.append(acc)
+    return outs
+
+
+def _conv_s2(x, ms, bias, oh, cd):
+    """Strided conv + bias: [tile, h, K] → [tile, oh, ow·cout]."""
+    (acc,) = _banded_vmem(x, ms, _PLAN_S, oh, cd, (0, 2))
+    return acc.reshape(x.shape[0], oh, -1) + bias[None]
+
+
+def _convt_s2(x, ms, bias, cd):
+    """Transposed conv + bias: [tile, h, K] → [tile, 2h, ow·cout] via the
+    row-parity groups interleaved by a free dim-merge reshape."""
+    tile, h, _ = x.shape
+    even, odd = _banded_vmem(x, ms, _PLAN_T, h, cd, (1, 1))
+    n = ms.shape[2]
+    both = jnp.concatenate(
+        [even.reshape(tile, h, 1, n), odd.reshape(tile, h, 1, n)], axis=2
+    )
+    return both.reshape(tile, 2 * h, n) + bias[None]
+
+
+# ---------------------------------------------------------------------------
+# Forward kernels
+# ---------------------------------------------------------------------------
+
+
+def _enc_kernel(cd, *refs):
+    (x_ref, m1, b1, m2, b2, wd, bd, wm, bm, wl, bl,
+     mu_ref, lv_ref, a1_ref, a2_ref, h_ref) = refs
+    x = x_ref[:]
+    a1 = _softplus(_conv_s2(x, m1[:], b1[0], _MID, cd))
+    a2 = _softplus(_conv_s2(a1, m2[:], b2[0], _SMALL, cd))
+    # Dense over the flattened [7, 448] spatial rows WITHOUT the
+    # lane<->sublane reshape a [tile, 3136] flatten would cost: one matmul
+    # per spatial row-chunk against the matching weight rows, summed.
+    hpre = bd[:]
+    for rc in range(_N_CHUNK):
+        hpre = hpre + _mm(a2[:, rc, :], wd[rc], cd)
+    h = _softplus(hpre)
+    mu_ref[:] = _mm(h, wm[:], cd) + bm[:]
+    lv_ref[:] = _mm(h, wl[:], cd) + bl[:]
+    a1_ref[:] = a1
+    a2_ref[:] = a2
+    h_ref[:] = h
+
+
+def _dec_kernel(cd, kind, nrows, *refs):
+    (z_ref, x_ref, d1, c1, d2, c2, mt1, bt1, mt2, bt2,
+     rec_ref, g1_ref, g2_ref, d1p_ref, r_ref) = refs
+    z = z_ref[:]
+    g1 = _softplus(_mm(z, d1[:], cd) + c1[:])
+    # dense2 in 7 column-chunks straight into the [tile, 7, 448] layout
+    # convt1 consumes — the [tile, 3136] wide row never exists.
+    tile = z.shape[0]
+    g2 = jnp.concatenate(
+        [
+            _softplus(_mm(g1, d2[:, rc, :], cd) + c2[rc])[:, None, :]
+            for rc in range(_N_CHUNK)
+        ],
+        axis=1,
+    )
+    d1p = _softplus(_convt_s2(g2, mt1[:], bt1[0], cd))
+    r = _convt_s2(d1p, mt2[:], bt2[0], cd)  # logits [tile, 28, 28]
+    x = x_ref[:]
+    if kind == "bernoulli":
+        ce = jnp.maximum(r, 0.0) - r * x + jnp.log1p(jnp.exp(-jnp.abs(r)))
+    else:
+        d = x - r
+        ce = d * d
+    rec = jnp.sum(ce, axis=(1, 2))[:, None]
+    if nrows % tile:
+        rec = jnp.where(_row_mask(tile, nrows), rec, 0.0)
+    rec_ref[:] = rec
+    g1_ref[:] = g1
+    g2_ref[:] = g2
+    d1p_ref[:] = d1p
+    r_ref[:] = r
+
+
+# ---------------------------------------------------------------------------
+# VMEM planning (constants follow the measured mlp.py methodology: a
+# planning budget well under the raised vmem_limit request's margin).
+# ---------------------------------------------------------------------------
+
+_VMEM_BUDGET = 40 * 1024 * 1024
+_VMEM_REQUEST_MAX = 100 * 1024 * 1024  # v5e cores have 128 MiB physical
+
+
+def _arr_vmem(a) -> int:
+    """fp32 VMEM bytes of one resident array: all major dims collapse onto
+    the (8-padded) sublane axis, minor dim lane-padded to 128."""
+    rows = 1
+    for d in a.shape[:-1]:
+        rows *= d
+    return 4 * max(8, ((rows + 7) // 8) * 8) * _lane(a.shape[-1])
+
+
+def _plan(weights, per_row: int, b: int):
+    """(tile, compiler_params) for one fused tower kernel: largest 8-multiple
+    tile whose live rows fit the budget beside the resident weights, and a
+    raised vmem_limit_bytes request (1.75x margin over the estimate, the
+    mlp.py-measured Mosaic overhead bound) when the default 16 MiB scoped
+    limit cannot hold it."""
+    wbytes = sum(_arr_vmem(w) for w in weights)
+    budget = _VMEM_BUDGET - wbytes
+    tile = max(8, min(256, budget // per_row))
+    tile = (tile // 8) * 8
+    if b < tile:
+        tile = max(8, min(_pow2_tile(b), tile))
+    base = _fwd_compiler_params()
+    if _interpret():
+        return tile, base
+    est = wbytes + tile * per_row
+    if est <= 15 * 1024 * 1024:
+        return tile, base
+    req = min(_VMEM_REQUEST_MAX, int(est * 1.75))
+    if base is None:
+        return tile, pltpu.CompilerParams(vmem_limit_bytes=req)
+    return tile, pltpu.CompilerParams(
+        dimension_semantics=base.dimension_semantics, vmem_limit_bytes=req
+    )
+
+
+# Per-sample live-row bytes (fp32, lane-padded): input + activations +
+# matmul/selection temps, sized from the fixed config-4 geometry.
+_ENC_PER_ROW = 4 * (
+    30 * 128        # row-padded x
+    + 4 * 14 * 512  # a1 + conv1 acc/selection temps
+    + 3 * 7 * 512   # a2 + conv2 temps
+    + 2 * 512       # h + dense acc
+    + 4 * 128       # heads
+)
+_DEC_PER_ROW = 4 * (
+    128             # z
+    + 2 * 512       # g1
+    + 3 * 7 * 512   # g2 chunks
+    + 9 * 512       # row-padded g2
+    + 4 * 7 * 512   # convt1 parity groups + interleave
+    + 3 * 14 * 512  # d1p + row pad
+    + 4 * 14 * 128  # convt2 groups + r
+    + 28 * 128      # x target
+)
+
+
+# ---------------------------------------------------------------------------
+# The tower custom-VJP
+# ---------------------------------------------------------------------------
+
+
+def _enc_widx(flat):
+    return flat[:10]
+
+
+def _dec_widx(flat):
+    return flat[10:]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _conv_tower(kind, cd, flat, x3, eps):
+    return _conv_tower_fwd(kind, cd, flat, x3, eps)[0]
+
+
+def _conv_tower_fwd(kind, cd, flat, x3, eps):
+    b = x3.shape[0]
+    n_z = flat[6].shape[1]
+    hr = flat[4].shape[2]
+    hg = flat[10].shape[1]
+
+    enc_w = _enc_widx(flat)
+    tile, cparams = _plan(enc_w, _ENC_PER_ROW, b)
+    img_spec = pl.BlockSpec(
+        (tile, IMG_SIZE, IMG_SIZE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    row = lambda n: pl.BlockSpec((tile, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk3 = lambda h, n: pl.BlockSpec(
+        (tile, h, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    full = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+    mu, lv, a1, a2, h = pl.pallas_call(
+        functools.partial(_enc_kernel, cd),
+        grid=(pl.cdiv(b, tile),),
+        in_specs=[img_spec] + full,
+        out_specs=(row(n_z), row(n_z), blk3(_MID, _MID * C1),
+                   blk3(_SMALL, _CHUNK), row(hr)),
+        out_shape=(
+            _sds((b, n_z), jnp.float32, x3),
+            _sds((b, n_z), jnp.float32, x3),
+            _sds((b, _MID, _MID * C1), jnp.float32, x3),
+            _sds((b, _SMALL, _CHUNK), jnp.float32, x3),
+            _sds((b, hr), jnp.float32, x3),
+        ),
+        compiler_params=cparams,
+        interpret=_interpret(),
+    )(x3, *enc_w)
+
+    z = mu + jnp.exp(0.5 * lv) * eps
+
+    dec_w = _dec_widx(flat)
+    tile_d, cparams_d = _plan(dec_w, _DEC_PER_ROW, b)
+    rowd = lambda n: pl.BlockSpec(
+        (tile_d, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    blk3d = lambda h, n: pl.BlockSpec(
+        (tile_d, h, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    imgd = pl.BlockSpec(
+        (tile_d, IMG_SIZE, IMG_SIZE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    rec, g1, g2, d1p, r = pl.pallas_call(
+        functools.partial(_dec_kernel, cd, kind, b),
+        grid=(pl.cdiv(b, tile_d),),
+        in_specs=[rowd(n_z), imgd] + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=(rowd(1), rowd(hg), blk3d(_SMALL, _CHUNK),
+                   blk3d(_MID, _MID * C1), imgd),
+        out_shape=(
+            _sds((b, 1), jnp.float32, x3),
+            _sds((b, hg), jnp.float32, x3),
+            _sds((b, _SMALL, _CHUNK), jnp.float32, x3),
+            _sds((b, _MID, _MID * C1), jnp.float32, x3),
+            _sds((b, IMG_SIZE, IMG_SIZE), jnp.float32, x3),
+        ),
+        compiler_params=cparams_d,
+        interpret=_interpret(),
+    )(z, x3, *dec_w)
+
+    out = {"mu": mu, "lv": lv, "recon_term": rec[:, 0]}
+    return out, (flat, x3, eps, mu, lv, a1, a2, h, g1, g2, d1p, r)
+
+
+def _conv_tower_bwd(kind, cd, res, cts):
+    """All-XLA backward over the saved post-activations (module docstring:
+    the measured round-3 lesson says conv backwards lose in Pallas). The
+    conv VJPs reuse conv_banded._banded_bwd verbatim — dx einsums XLA can
+    tile freely, dM with pad rows sliced away; dead dx outputs (conv1's,
+    whose input is the data) are DCE'd by XLA since we discard them."""
+    (flat, x3, eps, mu, lv, a1, a2, h, g1, g2, d1p, r) = res
+    (m1, b1, m2, b2, wd, bd, wm, bm, wl, bl,
+     d1, c1, d2, c2, mt1, bt1, mt2, bt2) = flat
+    b = x3.shape[0]
+    prec = _precision(cd)  # single-source matmul policy (models/networks)
+
+    def ein(expr, p, q):
+        return jnp.einsum(expr, p, q, precision=prec,
+                          preferred_element_type=jnp.float32)
+
+    grec = cts["recon_term"][:, None, None]
+
+    # Loss → logits.
+    if kind == "bernoulli":
+        dr = (jax.nn.sigmoid(r) - x3) * grec
+    else:
+        dr = 2.0 * (r - x3) * grec
+    dbt2 = jnp.sum(dr, axis=(0, 1))[None, :]
+
+    # convt2 backward (input d1p, interleaved output layout).
+    dr_il = dr.reshape(b, _MID, 2, IMG_SIZE)
+    dd1p, dmt2 = _banded_bwd(_PLAN_T, _MID, cd, (1, 1), True, (d1p, mt2), (dr_il,))
+    dpre_d1p = dd1p * _dsp(d1p)
+    dbt1 = jnp.sum(dpre_d1p, axis=(0, 1))[None, :]
+
+    # convt1 backward (input g2).
+    dp_il = dpre_d1p.reshape(b, _SMALL, 2, _MID * C1)
+    dg2, dmt1 = _banded_bwd(_PLAN_T, _SMALL, cd, (1, 1), True, (g2, mt1), (dp_il,))
+    dpre_g2 = dg2 * _dsp(g2)
+
+    # dense2 (7 column-chunks) + dense1.
+    dc2 = jnp.sum(dpre_g2, axis=0)
+    dd2 = ein("bh,brc->hrc", g1, dpre_g2)
+    dg1 = ein("brc,hrc->bh", dpre_g2, d2)
+    dpre_g1 = dg1 * _dsp(g1)
+    dc1 = jnp.sum(dpre_g1, axis=0, keepdims=True)
+    sig = jnp.exp(0.5 * lv)
+    z = mu + sig * eps
+    dd1 = _mm_tn(z, dpre_g1, cd)
+    dz = _mm_nt(dpre_g1, d1, cd)
+
+    # Reparameterization glue (cts["mu"]/["lv"] carry the KL cotangents —
+    # KL is computed OUTSIDE the custom VJP, so autodiff chains it here).
+    dmu = dz + cts["mu"]
+    dlv = cts["lv"] + 0.5 * dz * sig * eps
+
+    # Encoder heads + dense.
+    dwm = _mm_tn(h, dmu, cd)
+    dbm = jnp.sum(dmu, axis=0, keepdims=True)
+    dwl = _mm_tn(h, dlv, cd)
+    dbl = jnp.sum(dlv, axis=0, keepdims=True)
+    dh = _mm_nt(dmu, wm, cd) + _mm_nt(dlv, wl, cd)
+    dpre_h = dh * _dsp(h)
+    dbd = jnp.sum(dpre_h, axis=0, keepdims=True)
+    dwd = ein("brc,bh->rch", a2, dpre_h)
+    da2 = ein("bh,rch->brc", dpre_h, wd)
+    dpre_a2 = da2 * _dsp(a2)
+    db2 = jnp.sum(dpre_a2, axis=(0, 1))[None, :]
+
+    # conv2 backward (input a1), then conv1 (input x3; its dx is discarded
+    # under the closed-world invariant and DCE'd).
+    da1, dm2 = _banded_bwd(_PLAN_S, _SMALL, cd, (0, 2), False, (a1, m2), (dpre_a2,))
+    dpre_a1 = da1 * _dsp(a1)
+    db1 = jnp.sum(dpre_a1, axis=(0, 1))[None, :]
+    _unused_dx, dm1 = _banded_bwd(
+        _PLAN_S, _MID, cd, (0, 2), False, (x3, m1), (dpre_a1,)
+    )
+    del _unused_dx
+
+    dflat = (dm1, db1, dm2, db2, dwd, dbd, dwm, dbm, dwl, dbl,
+             dd1, dc1, dd2, dc2, dmt1, dbt1, dmt2, dbt2)
+    return dflat, jnp.zeros_like(x3), jnp.zeros_like(eps)
+
+
+_conv_tower.defvjp(_conv_tower_fwd, _conv_tower_bwd)
+
+
+def conv_tower_fused(params, x, *, kind, key=None, eps=None,
+                     compute_dtype=jnp.float32):
+    """Whole conv VAE tower + per-sample loss terms, one forward kernel per
+    direction. Drop-in analog of megakernel.vae_tower_fused for conv
+    modalities: returns dict(mu, lv, recon_term [B], kl_term [B])."""
+    x = jnp.asarray(x, jnp.float32)
+    b = x.shape[0]
+    x3 = x.reshape(b, IMG_SIZE, IMG_SIZE)
+    n_z = params["recog"]["out_mean"]["w"].shape[1]
+    if eps is None:
+        if key is None:
+            raise ValueError("conv_tower_fused needs `key` or `eps`")
+        eps = jax.random.normal(key, (b, n_z), jnp.float32)
+    eps = jnp.asarray(eps, jnp.float32)
+    if _shardmap_interpret(x3):
+        # shard_map-on-CPU fallback: identical math via the jnp conv path
+        # (see kernels.mlp._shardmap_interpret).
+        from vae_assoc_tpu.models import conv as conv_mod
+        from vae_assoc_tpu.ops import losses
+
+        mu, lv = conv_mod.encode_conv(params, x, compute_dtype=compute_dtype)
+        z = mu + jnp.exp(0.5 * lv) * eps
+        rr = conv_mod.decode_conv(params, z, compute_dtype=compute_dtype)
+        if kind == "bernoulli":
+            rec = losses.bernoulli_recon(x, logits=rr)
+        else:
+            rec = losses.gaussian_recon(x, rr)
+        return {"mu": mu, "lv": lv, "recon_term": rec,
+                "kl_term": losses.kl_divergence(mu, lv)}
+    flat = tuple(_pvary_like(transform_conv_params(params), x3))
+    (eps,) = _pvary_like([eps], x3)
+    out = _conv_tower(kind, jnp.dtype(compute_dtype).name, flat, x3, eps)
+    # KL in XLA from the kernel's μ/logσ² ([B, n_z] elementwise — fuses
+    # for free; autodiff chains its grads into the tower's μ/lv cotangents).
+    kl = -0.5 * jnp.sum(1.0 + out["lv"] - out["mu"] ** 2 - jnp.exp(out["lv"]),
+                        axis=1)
+    return {**out, "kl_term": kl}

@@ -29,6 +29,14 @@ params only (train/step.py, jax.grad argnums=0), so dx is provably never
 consumed. Input-optimization users must use the composable kernels
 (``use_pallas=True``), whose loss VJP emits the true dx.
 
+Conditional towers (round 4): the cond one-hot widens the encoder input at
+the call boundary exactly like models/vae.vae_forward; the kernel derives
+n_cond from the decoder weight's row count, re-reads the cond columns at
+the decoder's in-kernel concat point, and compares the loss against the
+data columns only — the kernel stays width-agnostic, so `use_pallas="mega"`
+keeps its speed on `--conditional` runs (parity:
+tests/test_conditional.py::test_mega_conditional_parity).
+
 Loss formulation matches ops/losses.py's default (stable logit-space CE
 for Bernoulli, SSE for Gaussian, closed-form KL) — parity and gradient
 equality vs the jnp path asserted in tests/test_megakernel.py.
@@ -97,9 +105,14 @@ def _weight_bytes(widths) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(cd, kind, nrows, seeded, *refs):
+def _fwd_kernel(cd, kind, nrows, seeded, n_cond, *refs):
     (x_ref, w1, b1, w2, b2, wm, bm, wl, bl, d1, c1, d2, c2, do, co,
      eps_or_seed, mu_ref, lv_ref, eps_ref, rec_ref, kl_ref) = refs
+    # Conditional towers (n_cond > 0): x_ref is the WIDENED encoder input
+    # [tile, n_x + n_cond] (cond one-hot concatenated at the call boundary,
+    # models/vae.vae_forward's convention) — the encoder consumes it whole,
+    # the decoder re-reads the cond columns for its own concat, and the
+    # loss compares against the data columns only.
     x = x_ref[:]
     h1 = _softplus(_mm(x, w1[:], cd) + b1[:])
     h2 = _softplus(_mm(h1, w2[:], cd) + b2[:])
@@ -112,7 +125,13 @@ def _fwd_kernel(cd, kind, nrows, seeded, *refs):
     else:
         eps = eps_or_seed[:]
     z = mu + jnp.exp(0.5 * lv) * eps
-    g1 = _softplus(_mm(z, d1[:], cd) + c1[:])
+    if n_cond:
+        n_x = x.shape[1] - n_cond
+        x = x[:, :n_x]  # loss target = data columns
+        z_in = jnp.concatenate([z, x_ref[:, n_x:]], axis=1)
+    else:
+        z_in = z
+    g1 = _softplus(_mm(z_in, d1[:], cd) + c1[:])
     g2 = _softplus(_mm(g1, d2[:], cd) + c2[:])
     r = _mm(g2, do[:], cd) + co[:]
     if kind == "bernoulli":
@@ -135,7 +154,7 @@ def _fwd_kernel(cd, kind, nrows, seeded, *refs):
 
 
 def _dec_loss_bwd_kernel(
-    cd, kind, nrows, x_ref, z_ref, d1, c1, d2, c2, do, co, grec_ref,
+    cd, kind, nrows, n_cond, x_ref, z_ref, d1, c1, d2, c2, do, co, grec_ref,
     dz_ref, dd1, dc1, dd2, dc2, ddo, dco,
 ):
     x = x_ref[:]
@@ -147,6 +166,12 @@ def _dec_loss_bwd_kernel(
         x = jnp.where(valid, x, 0.0)
         z = jnp.where(valid, z, 0.0)
         grec = jnp.where(valid, grec, 0.0)
+    if n_cond:
+        # x is the widened encoder input (see _fwd_kernel): the decoder's
+        # concat point re-reads the cond columns, the loss the data ones.
+        n_x = x.shape[1] - n_cond
+        z = jnp.concatenate([z, x[:, n_x:]], axis=1)
+        x = x[:, :n_x]
     # Rematerialize the decoder from z; x̂ and its gradient stay in VMEM.
     b1d = _mm(z, d1[:], cd) + c1[:]
     g1 = _softplus(b1d)
@@ -161,7 +186,10 @@ def _dec_loss_bwd_kernel(
     db2d = dg2 * jax.nn.sigmoid(b2d)
     dg1 = _mm_nt(db2d, d2[:], cd)
     db1d = dg1 * jax.nn.sigmoid(b1d)
-    dz_ref[:] = _mm_nt(db1d, d1[:], cd)
+    dz_full = _mm_nt(db1d, d1[:], cd)
+    # Conditional: drop the cond columns' cotangent (the condition is an
+    # input, and the tower's closed-world invariant discards input grads).
+    dz_ref[:] = dz_full[:, : dz_ref.shape[1]] if n_cond else dz_full
 
     first = pl.program_id(0) == 0
     for ref, val in (
@@ -234,6 +262,10 @@ def _tower(kind, cd, flat, x, eps_or_seed):
 def _tower_fwd(kind, cd, flat, x, eps_or_seed):
     b, n_in = x.shape
     n_z = flat[4].shape[1]
+    # Conditional towers: the decoder's first weight has n_z + n_cond input
+    # rows (models/networks widens it at init) — n_cond is derivable from
+    # shapes, no extra static argument.
+    n_cond = flat[8].shape[0] - n_z
     seeded = eps_or_seed.ndim == 1  # int32 [1] seed vs [B, n_z] ε
     widths = _widths(flat, n_in)
     tile = _vmem_tile(b, _weight_bytes(widths), max(widths), n_live=8)
@@ -241,7 +273,7 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
         pl.BlockSpec(memory_space=pltpu.SMEM) if seeded else _row_spec(tile, n_z)
     )
     mu, lv, eps, rec, kl = pl.pallas_call(
-        functools.partial(_fwd_kernel, cd, kind, b, seeded),
+        functools.partial(_fwd_kernel, cd, kind, b, seeded, n_cond),
         grid=_grid(b, tile),
         in_specs=[_row_spec(tile, n_in)] + _full_specs(14) + [eps_spec],
         out_specs=(
@@ -275,11 +307,12 @@ def _tower_bwd(kind, cd, res, cts):
     z = mu + sig * eps
 
     # Stage 1: decoder+loss backward (decoder weights + accumulators only).
-    dec_widths = (n_z, dec_flat[0].shape[1], dec_flat[2].shape[1], n_in)
+    n_cond = dec_flat[0].shape[0] - n_z
+    dec_widths = (n_z + n_cond, dec_flat[0].shape[1], dec_flat[2].shape[1], n_in)
     tile = _vmem_tile(b, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10)
     dec_shapes = tuple(_sds(w.shape, jnp.float32, x) for w in dec_flat)
     dz, *dec_grads = pl.pallas_call(
-        functools.partial(_dec_loss_bwd_kernel, cd, kind, b),
+        functools.partial(_dec_loss_bwd_kernel, cd, kind, b, n_cond),
         grid=_grid(b, tile),
         in_specs=(
             [_row_spec(tile, n_in), _row_spec(tile, n_z)]
@@ -315,17 +348,31 @@ def _tower_bwd(kind, cd, res, cts):
 _tower.defvjp(_tower_fwd, _tower_bwd)
 
 
-def vae_tower_fused(params, x, *, kind, key=None, eps=None, compute_dtype=jnp.float32):
+def vae_tower_fused(
+    params, x, *, kind, key=None, eps=None, compute_dtype=jnp.float32, cond=None
+):
     """Whole VAE tower + per-sample loss terms, one forward kernel.
 
     Returns dict(mu [B,n_z], lv [B,n_z], recon_term [B], kl_term [B]).
     ε comes from the on-core PRNG when `key` is given (TPU; off-TPU the
     key degrades to a jax.random draw like kernels/sampling.py), or is
     injected explicitly for parity tests.
+
+    ``cond`` ([B, n_cond] fp32, already one-hot/soft-encoded — the caller
+    validates via models/vae.prepare_cond): conditional towers widen the
+    encoder input here at the call boundary; the kernel re-reads the cond
+    columns at the decoder's concat point and compares the loss against
+    the data columns only. The kernel itself stays width-agnostic —
+    n_cond is derived from the decoder weight's row count.
     """
+    if cond is not None:
+        x = jnp.concatenate(
+            [jnp.asarray(x, jnp.float32), jnp.asarray(cond, jnp.float32)], axis=1
+        )
     if _shardmap_interpret(x):
         # shard_map-on-CPU fallback: identical math via the jnp path (see
-        # kernels.mlp._shardmap_interpret).
+        # kernels.mlp._shardmap_interpret). x is already the widened
+        # encoder input; mirror the kernel's decoder concat / loss slice.
         from vae_assoc_tpu.models import networks
         from vae_assoc_tpu.ops import losses
 
@@ -335,11 +382,15 @@ def vae_tower_fused(params, x, *, kind, key=None, eps=None, compute_dtype=jnp.fl
                 raise ValueError("vae_tower_fused needs `key` or `eps`")
             eps = jax.random.normal(key, mu.shape, jnp.float32)
         z = mu + jnp.exp(0.5 * lv) * eps.astype(jnp.float32)
+        x_data = x
+        if cond is not None:
+            x_data = x[:, : x.shape[1] - cond.shape[1]]
+            z = jnp.concatenate([z, x[:, x_data.shape[1]:]], axis=1)
         r = networks.decode_mlp(params, z, compute_dtype=compute_dtype)
         if kind == "bernoulli":
-            rec = losses.bernoulli_recon(x, logits=r)
+            rec = losses.bernoulli_recon(x_data, logits=r)
         else:
-            rec = losses.gaussian_recon(x, r)
+            rec = losses.gaussian_recon(x_data, r)
         return {"mu": mu, "lv": lv, "recon_term": rec,
                 "kl_term": losses.kl_divergence(mu, lv)}
     flat = tuple(_pvary_like(_flatten(params), x))

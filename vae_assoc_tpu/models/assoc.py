@@ -138,17 +138,15 @@ def mega_fallback_reason(cfg: AssocConfig):
             "kernel (the megakernel only surfaces μ)"
         )
     for m in cfg.modalities:
-        if m.encoder != "mlp":
-            return f"modality {m.name!r} uses a conv tower"
         if m.transfer != "softplus":
             return f"modality {m.name!r} uses transfer={m.transfer!r}"
-        if m.n_cond > 0:
-            return (
-                f"modality {m.name!r} is conditional (the in-kernel decoder "
-                "has no concat point for the condition)"
-            )
-        if len(recog_widths(m.arch)) != 2 or len(gener_widths(m.arch)) != 2:
+        if m.encoder == "mlp" and (
+            len(recog_widths(m.arch)) != 2 or len(gener_widths(m.arch)) != 2
+        ):
             return f"modality {m.name!r} has a non-depth-2 arch dict"
+        # conv/conv_pallas modalities: served by the conv-tower megakernel
+        # (kernels/conv_mega.py) — the config-level arch validation already
+        # pins the geometry it implements (28x28, fixed conv channels).
     return None
 
 
@@ -180,19 +178,20 @@ def assoc_loss_fn(
     xs, cond = split_cond(xs, cfg, cond)
     if use_pallas == "mega" and not parity_mode:
         # The tower megakernel implements the reference's depth-2
-        # MLP/softplus tower only (and its decoder consumes the latent
-        # inside the kernel, so the conditional concat has no insertion
-        # point). Mirror vae._net_fns' fallback semantics: a conv modality,
-        # a non-softplus transfer, conditioning, or a deeper arch dict
-        # routes the whole loss through the composable-kernel path, which
-        # is depth-generic and itself falls back per modality. Non-default
-        # association forms fall back too: the megakernel only surfaces μ
-        # (sampled z and logσ² stay in-kernel), so sample_l2/sym_kl have
-        # nothing to couple.
+        # MLP/softplus tower (conditional included — the cond widens the
+        # encoder input at the call boundary and the kernel re-reads its
+        # columns at the decoder concat point). Mirror vae._net_fns'
+        # fallback semantics: a conv modality, a non-softplus transfer, or
+        # a deeper arch dict routes the whole loss through the
+        # composable-kernel path, which is depth-generic and itself falls
+        # back per modality. Non-default association forms fall back too:
+        # the megakernel only surfaces μ (sampled z and logσ² stay
+        # in-kernel), so sample_l2/sym_kl have nothing to couple.
         reason = mega_fallback_reason(cfg)
         if reason is None:
             return _assoc_loss_mega(
-                params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype
+                params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype,
+                cond=cond,
             )
         # The fallback must not be silent (VERDICT r3 weak #2): a user who
         # configured use_pallas="mega" keeps the flag but loses the
@@ -266,12 +265,13 @@ def assoc_loss_fn(
     return total, metrics
 
 
-def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype):
+def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond=None):
     """Joint objective via the per-modality tower megakernels
     (kernels/megakernel.py): one forward kernel per modality — the decoder
     output never touches HBM — plus the tiny association term in XLA.
     Training-engine path only: differentiable w.r.t. params, not inputs
-    (see the megakernel's closed-world invariant)."""
+    (see the megakernel's closed-world invariant). Conditional models
+    thread the shared cond vector into each tower's call boundary."""
     from vae_assoc_tpu.kernels.megakernel import vae_tower_fused
 
     k = len(cfg.modalities)
@@ -287,9 +287,19 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype):
     total = jnp.float32(0.0)
     mus = []
     for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps):
-        out = vae_tower_fused(
-            p, x, kind=m.recon, key=kk, eps=e, compute_dtype=compute_dtype
-        )
+        if m.encoder in ("conv", "conv_pallas"):
+            # Conv modalities: the conv-tower megakernel (one fused launch
+            # per direction, banded-matmul convs, all-XLA backward).
+            from vae_assoc_tpu.kernels.conv_mega import conv_tower_fused
+
+            out = conv_tower_fused(
+                p, x, kind=m.recon, key=kk, eps=e, compute_dtype=compute_dtype
+            )
+        else:
+            out = vae_tower_fused(
+                p, x, kind=m.recon, key=kk, eps=e, compute_dtype=compute_dtype,
+                cond=vae_mod.prepare_cond(cond, m, x.shape[0]),
+            )
         metrics[f"recon_{m.name}"] = jnp.mean(out["recon_term"])
         metrics[f"kl_{m.name}"] = jnp.mean(out["kl_term"])
         total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
