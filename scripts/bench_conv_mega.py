@@ -31,6 +31,10 @@ import jax.numpy as jnp
 
 assert jax.default_backend() == "tpu"
 
+from vae_assoc_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/root/.cache/vae_assoc_bench_xla")  # rerun != recompile
+
 from vae_assoc_tpu.configs import baseline_config
 from vae_assoc_tpu.train.step import init_train_state, make_train_step
 
@@ -40,7 +44,7 @@ REPS = 3
 
 rng = np.random.default_rng(0)
 x_img = rng.uniform(0, 1, (SPC, B, 784)).astype(np.float32)
-x_traj = rng.normal(size=(SPC, B, 100)).astype(np.float32)
+x_traj = rng.normal(size=(SPC, B, 200)).astype(np.float32)  # 2 dims x 100 steps
 
 
 def make_arm(encoder, use_pallas):

@@ -336,7 +336,18 @@ def _build_ms(w_hwio, band_mats, cin, cout):
     ms/step (launch-overhead-, not FLOP-, dominated — docs/PERF.md), so
     the single-op form is kept for the smaller HLO."""
     bands = jnp.stack([jnp.asarray(b) for b in band_mats])  # [3dx, ncols, ow]
-    ms = jnp.einsum("xcp,yxio->ycipo", bands, w_hwio)
+    # precision=HIGHEST is load-bearing: this einsum only *places* weights
+    # (one operand is exactly 0/1), but at DEFAULT the TPU MXU runs a
+    # single bf16 pass, so every conv weight entered M rounded to bf16 —
+    # measured 7-10x accuracy loss vs the XLA conv path against a float64
+    # oracle (mu maxabs 1.4e-3 vs 1.9e-4 at fp32; 2026-08-19). HIGHEST
+    # makes the placement bit-exact; the build is launch-bound, not
+    # FLOP-bound, so the extra passes are free at this size.
+    ms = jnp.einsum(
+        "xcp,yxio->ycipo", bands, w_hwio,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
     ncols, ow = band_mats[0].shape
     return ms.reshape(_K, ncols * cin, ow * cout)
 

@@ -145,10 +145,13 @@ def transform_conv_params(params):
 # ---------------------------------------------------------------------------
 
 
-def _banded_vmem(x, ms, plan, oh, cd, pad):
-    """x [tile, h, K] (VMEM value) → per-group [tile·oh, N] matmul sums —
-    the body of conv_banded's `_banded_fwd_kernel`, reused on values that
-    never left VMEM."""
+def _banded_vmem(x, ms, plan, oh, cd, pad, bias):
+    """x [tile, h, K] (VMEM value) → per-group [tile·oh, N] matmul sums +
+    bias — the body of conv_banded's `_banded_fwd_kernel`, reused on values
+    that never left VMEM. The bias ([1, N], identical across rows) is added
+    on the 2-D view: Mosaic's layout inference rejects rank-1 values, so no
+    `b[0]`-style vector may ever exist in-kernel (measured TPU SIGABRT in
+    inferReshape; interpret mode cannot catch it)."""
     xp = _pad_rows(x, pad)
     outs = []
     for entries in plan:
@@ -156,26 +159,26 @@ def _banded_vmem(x, ms, plan, oh, cd, pad):
         for start, stride, mi in entries:
             t = _mm(_select_rows(xp, start, stride, oh), ms[mi], cd)
             acc = t if acc is None else acc + t
-        outs.append(acc)
+        outs.append(acc + bias)
     return outs
 
 
 def _conv_s2(x, ms, bias, oh, cd):
     """Strided conv + bias: [tile, h, K] → [tile, oh, ow·cout]."""
-    (acc,) = _banded_vmem(x, ms, _PLAN_S, oh, cd, (0, 2))
-    return acc.reshape(x.shape[0], oh, -1) + bias[None]
+    (acc,) = _banded_vmem(x, ms, _PLAN_S, oh, cd, (0, 2), bias)
+    return acc.reshape(x.shape[0], oh, -1)
 
 
 def _convt_s2(x, ms, bias, cd):
     """Transposed conv + bias: [tile, h, K] → [tile, 2h, ow·cout] via the
     row-parity groups interleaved by a free dim-merge reshape."""
     tile, h, _ = x.shape
-    even, odd = _banded_vmem(x, ms, _PLAN_T, h, cd, (1, 1))
+    even, odd = _banded_vmem(x, ms, _PLAN_T, h, cd, (1, 1), bias)
     n = ms.shape[2]
     both = jnp.concatenate(
         [even.reshape(tile, h, 1, n), odd.reshape(tile, h, 1, n)], axis=2
     )
-    return both.reshape(tile, 2 * h, n) + bias[None]
+    return both.reshape(tile, 2 * h, n)
 
 
 # ---------------------------------------------------------------------------
@@ -187,8 +190,8 @@ def _enc_kernel(cd, *refs):
     (x_ref, m1, b1, m2, b2, wd, bd, wm, bm, wl, bl,
      mu_ref, lv_ref, a1_ref, a2_ref, h_ref) = refs
     x = x_ref[:]
-    a1 = _softplus(_conv_s2(x, m1[:], b1[0], _MID, cd))
-    a2 = _softplus(_conv_s2(a1, m2[:], b2[0], _SMALL, cd))
+    a1 = _softplus(_conv_s2(x, m1[:], b1[:], _MID, cd))
+    a2 = _softplus(_conv_s2(a1, m2[:], b2[:], _SMALL, cd))
     # Dense over the flattened [7, 448] spatial rows WITHOUT the
     # lane<->sublane reshape a [tile, 3136] flatten would cost: one matmul
     # per spatial row-chunk against the matching weight rows, summed.
@@ -213,20 +216,22 @@ def _dec_kernel(cd, kind, nrows, *refs):
     tile = z.shape[0]
     g2 = jnp.concatenate(
         [
-            _softplus(_mm(g1, d2[:, rc, :], cd) + c2[rc])[:, None, :]
+            _softplus(_mm(g1, d2[:, rc, :], cd) + c2[rc : rc + 1, :])[:, None, :]
             for rc in range(_N_CHUNK)
         ],
         axis=1,
     )
-    d1p = _softplus(_convt_s2(g2, mt1[:], bt1[0], cd))
-    r = _convt_s2(d1p, mt2[:], bt2[0], cd)  # logits [tile, 28, 28]
+    d1p = _softplus(_convt_s2(g2, mt1[:], bt1[:], cd))
+    r = _convt_s2(d1p, mt2[:], bt2[:], cd)  # logits [tile, 28, 28]
     x = x_ref[:]
     if kind == "bernoulli":
         ce = jnp.maximum(r, 0.0) - r * x + jnp.log1p(jnp.exp(-jnp.abs(r)))
     else:
         d = x - r
         ce = d * d
-    rec = jnp.sum(ce, axis=(1, 2))[:, None]
+    # Reduce one axis at a time so every intermediate stays rank >= 2
+    # (rank-1 values abort Mosaic layout inference, see _banded_vmem).
+    rec = jnp.sum(jnp.sum(ce, axis=2), axis=1, keepdims=True)
     if nrows % tile:
         rec = jnp.where(_row_mask(tile, nrows), rec, 0.0)
     rec_ref[:] = rec
