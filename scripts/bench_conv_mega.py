@@ -80,7 +80,8 @@ def time_arm(state, step, xs):
 arms = {
     "A xla-convs   (conv,        True)  ": make_arm("conv", True),
     "B banded      (conv_pallas, True)  ": make_arm("conv_pallas", True),
-    "C conv-mega   (conv,        'mega')": make_arm("conv", "mega"),
+    "C conv-mega   (conv_pallas, 'mega')": make_arm("conv_pallas", "mega"),
+    "D mega-defaul (conv,        'mega')": make_arm("conv", "mega"),
 }
 
 # Warm up every arm (compile) before any timing.

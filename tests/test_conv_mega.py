@@ -179,3 +179,39 @@ def test_train_step_conv_mega_learns(rng):
         state, m = step(state, xs)
         hist.append(float(m["total"]))
     assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+def test_mega_routes_conv_encoder_by_field(rng, monkeypatch):
+    """Under use_pallas='mega', encoder='conv' must reach conv_tower_xla
+    (the measured round-4 winner) and encoder='conv_pallas' must reach the
+    Pallas conv-tower megakernel (the explicit opt-in)."""
+    from vae_assoc_tpu.kernels import conv_mega
+
+    calls = []
+    real_xla, real_fused = conv_mega.conv_tower_xla, conv_mega.conv_tower_fused
+    monkeypatch.setattr(
+        conv_mega, "conv_tower_xla",
+        lambda *a, **k: calls.append("xla") or real_xla(*a, **k))
+    monkeypatch.setattr(
+        conv_mega, "conv_tower_fused",
+        lambda *a, **k: calls.append("fused") or real_fused(*a, **k))
+
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (16, 784)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 36)).astype(np.float32)),
+    ]
+    eps = [jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)) for _ in range(2)]
+    for encoder, expected in (("conv", "xla"), ("conv_pallas", "fused")):
+        cfg = AssocConfig(
+            [
+                ModalityConfig("image", CONV_ARCH, recon="bernoulli", encoder=encoder),
+                ModalityConfig("trajectory", MLP_ARCH, recon="gaussian"),
+            ],
+            assoc_lambda=0.5,
+        )
+        params = assoc_mod.init_assoc(jax.random.key(3), cfg)
+        calls.clear()
+        assoc_mod.assoc_loss_fn(params, xs, cfg, eps=eps, use_pallas="mega")
+        # calls[0] (not ==): under shard_map-on-CPU conv_tower_fused itself
+        # falls back to conv_tower_xla, appending a second entry.
+        assert calls and calls[0] == expected, (encoder, calls)

@@ -545,7 +545,12 @@ def baseline_config(milestone: int, **overrides):
     elif milestone == 4:
         conv_img = dataclasses.replace(img, encoder="conv")
         model = AssocConfig([conv_img, traj], assoc_lambda=1.0)
-        train = TrainConfig(batch_size=64, use_pallas=True)
+        # "mega" = measured-best kernel per modality (round-4 A/B, docs/
+        # PERF.md "Conv-tower megakernel"): XLA convs on the image branch
+        # (they beat every Pallas conv formulation), the MLP tower
+        # megakernel on the trajectory branch. 459.6k vs 454.2k samples/s
+        # over use_pallas=True in the same session.
+        train = TrainConfig(batch_size=64, use_pallas="mega")
     elif milestone == 5:
         model = AssocConfig([img, traj], assoc_lambda=1.0)
         train = TrainConfig(

@@ -474,6 +474,45 @@ def _conv_tower_bwd(kind, cd, res, cts):
 _conv_tower.defvjp(_conv_tower_fwd, _conv_tower_bwd)
 
 
+# Measured round-4 A/B (scripts/bench_conv_mega.py, same-session interleaved,
+# batch 2048, bf16, 10-step scan): the Pallas conv-tower megakernel LOSES —
+# 238.6k samples/s e2e vs 289.3k composable-banded vs 463.5k XLA convs; in
+# tower isolation its fwd+bwd is 3.1x slower (6.41 vs 2.04 ms). The banded
+# formulation's structural FLOP balloon (3-6x multiply-by-zero + lane
+# padding, docs/PERF.md round-2 analysis) exceeds what single-launch
+# boundary fusion recoups, and the XLA-replay backward pays the balloon
+# again. Per the repo's measured-or-revert rule, `use_pallas="mega"` with
+# encoder="conv" routes to `conv_tower_xla` (the winner); only the explicit
+# encoder="conv_pallas" opt-in reaches `conv_tower_fused` (reproduction /
+# new-hardware reruns). Routing lives in models/assoc._assoc_loss_mega.
+
+
+def conv_tower_xla(params, x, *, kind, key=None, eps=None,
+                   compute_dtype=jnp.float32):
+    """The conv VAE tower + per-sample loss terms on the stock XLA conv
+    path (models.conv) — the measured config-4 winner (see PALLAS_CONV_MEGA
+    above). Same return contract as `conv_tower_fused`."""
+    from vae_assoc_tpu.models import conv as conv_mod
+    from vae_assoc_tpu.ops import losses
+
+    x = jnp.asarray(x, jnp.float32)
+    n_z = params["recog"]["out_mean"]["w"].shape[1]
+    if eps is None:
+        if key is None:
+            raise ValueError("conv_tower_xla needs `key` or `eps`")
+        eps = jax.random.normal(key, (x.shape[0], n_z), jnp.float32)
+    eps = jnp.asarray(eps, jnp.float32)
+    mu, lv = conv_mod.encode_conv(params, x, compute_dtype=compute_dtype)
+    z = mu + jnp.exp(0.5 * lv) * eps
+    rr = conv_mod.decode_conv(params, z, compute_dtype=compute_dtype)
+    if kind == "bernoulli":
+        rec = losses.bernoulli_recon(x, logits=rr)
+    else:
+        rec = losses.gaussian_recon(x, rr)
+    return {"mu": mu, "lv": lv, "recon_term": rec,
+            "kl_term": losses.kl_divergence(mu, lv)}
+
+
 def conv_tower_fused(params, x, *, kind, key=None, eps=None,
                      compute_dtype=jnp.float32):
     """Whole conv VAE tower + per-sample loss terms, one forward kernel per
@@ -491,18 +530,8 @@ def conv_tower_fused(params, x, *, kind, key=None, eps=None,
     if _shardmap_interpret(x3):
         # shard_map-on-CPU fallback: identical math via the jnp conv path
         # (see kernels.mlp._shardmap_interpret).
-        from vae_assoc_tpu.models import conv as conv_mod
-        from vae_assoc_tpu.ops import losses
-
-        mu, lv = conv_mod.encode_conv(params, x, compute_dtype=compute_dtype)
-        z = mu + jnp.exp(0.5 * lv) * eps
-        rr = conv_mod.decode_conv(params, z, compute_dtype=compute_dtype)
-        if kind == "bernoulli":
-            rec = losses.bernoulli_recon(x, logits=rr)
-        else:
-            rec = losses.gaussian_recon(x, rr)
-        return {"mu": mu, "lv": lv, "recon_term": rec,
-                "kl_term": losses.kl_divergence(mu, lv)}
+        return conv_tower_xla(params, x, kind=kind, eps=eps,
+                              compute_dtype=compute_dtype)
     flat = tuple(_pvary_like(transform_conv_params(params), x3))
     (eps,) = _pvary_like([eps], x3)
     out = _conv_tower(kind, jnp.dtype(compute_dtype).name, flat, x3, eps)

@@ -144,9 +144,11 @@ def mega_fallback_reason(cfg: AssocConfig):
             len(recog_widths(m.arch)) != 2 or len(gener_widths(m.arch)) != 2
         ):
             return f"modality {m.name!r} has a non-depth-2 arch dict"
-        # conv/conv_pallas modalities: served by the conv-tower megakernel
-        # (kernels/conv_mega.py) — the config-level arch validation already
-        # pins the geometry it implements (28x28, fixed conv channels).
+        # conv/conv_pallas modalities: served under "mega" by conv_tower_xla
+        # (encoder="conv", the measured winner) or the conv-tower megakernel
+        # (encoder="conv_pallas" opt-in; kernels/conv_mega.py) — the
+        # config-level arch validation already pins the geometry (28x28,
+        # fixed conv channels).
     return None
 
 
@@ -288,11 +290,17 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond
     mus = []
     for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps):
         if m.encoder in ("conv", "conv_pallas"):
-            # Conv modalities: the conv-tower megakernel (one fused launch
-            # per direction, banded-matmul convs, all-XLA backward).
-            from vae_assoc_tpu.kernels.conv_mega import conv_tower_fused
+            # Conv modalities keep the encoder field's XLA-vs-Pallas
+            # choice under "mega": encoder="conv" → XLA convs, the
+            # measured round-4 winner (463.5k vs 238.6k samples/s e2e);
+            # encoder="conv_pallas" → the banded conv-tower megakernel,
+            # kept as the explicit opt-in for reproduction/new-hardware
+            # reruns (docs/PERF.md "Conv-tower megakernel").
+            from vae_assoc_tpu.kernels import conv_mega
 
-            out = conv_tower_fused(
+            tower = (conv_mega.conv_tower_fused if m.encoder == "conv_pallas"
+                     else conv_mega.conv_tower_xla)
+            out = tower(
                 p, x, kind=m.recon, key=kk, eps=e, compute_dtype=compute_dtype
             )
         else:
