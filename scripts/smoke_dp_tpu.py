@@ -215,5 +215,49 @@ results["conditional"] = dict(custom_calls=n_ccc,
                               loss_last=float(lastc[-1]))
 print(f"conditional DP: loss {firstc[0]:.2f} -> {lastc[-1]:.2f}")
 
+# shard_map TP leg (parallel/tp_shard.py, round 4): Megatron column x row
+# layer-pair splits around the fused block kernels. On a 1-chip mesh the
+# psum folds away but the claim that matters — the pair-block pallas_call
+# compiles as Mosaic under the model-axis mesh and trains — is asserted.
+import jax.numpy as jnp
+
+from vae_assoc_tpu.parallel import tp_shard as tps
+
+cfgt, tct = baseline_config(3, batch_size=1024,
+                            compute_dtype=jnp.bfloat16,
+                            use_pallas=True, steps_per_call=10)
+mesh_t = tps.make_tp_mesh(len(jax.devices()))
+statet = tps.init_tp_train_state(cfgt, tct, mesh_t)
+stept = tps.make_tp_train_step(cfgt, tct, mesh_t)
+xst = tps.replicate_batch(
+    mesh_t,
+    [
+        rng.uniform(0, 1, (tct.steps_per_call, tct.batch_size, 784)).astype(np.float32),
+        rng.normal(size=(tct.steps_per_call, tct.batch_size, 200)).astype(np.float32),
+    ],
+)
+hlot = stept.lower(statet, xst).compile().as_text()
+n_cct = hlot.count("tpu_custom_call")
+print(f"tp_shard: {n_cct} tpu_custom_call sites in compiled HLO")
+assert n_cct > 0, "tp_shard layout compiled without Pallas custom-calls"
+statet, mt = stept(statet, xst)
+firstt = np.asarray(jax.device_get(mt["total"]), np.float32)
+n_calls = 20
+t0 = time.perf_counter()
+for _ in range(n_calls):
+    statet, mt = stept(statet, xst)
+lastt = np.asarray(jax.device_get(mt["total"]), np.float32)
+dtt = time.perf_counter() - t0
+assert np.all(np.isfinite(firstt)) and np.all(np.isfinite(lastt))
+assert float(lastt[-1]) < float(firstt[0]), (firstt, lastt)
+spst = n_calls * tct.steps_per_call * tct.batch_size / dtt
+fullt = tps.gather_tp_train_state(statet, cfgt, tct)
+assert fullt.params["modalities"][0]["recog"]["h1"]["w"].shape == (784, 500)
+results["tp_shard"] = dict(custom_calls=n_cct, samples_per_sec=spst,
+                           loss_first=float(firstt[0]),
+                           loss_last=float(lastt[-1]))
+print(f"tp_shard: loss {firstt[0]:.2f} -> {lastt[-1]:.2f}, "
+      f"{spst:,.0f} samples/sec")
+
 print("RESULTS", results)
 print("ALL CHECKS PASSED: shard_map x Pallas executed as compiled Mosaic code")

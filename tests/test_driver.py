@@ -305,6 +305,41 @@ def test_driver_config5_zero_layout(tmp_path):
         assert msg in out.stderr, (bad, out.stderr[-2000:])
 
 
+def test_driver_config5_tp_shard_layout(tmp_path):
+    """--tp-shard runs config 5 WITH its declared Pallas kernels (the
+    shard_map TP layout keeps them), gathers the padded-sharded state for
+    validation/checkpoint/eval, and rejects layout-conflicting flags."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    metrics = tmp_path / "metrics.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "5", "--data", "synthetic", "--n-samples", "256",
+         "--batch-size", "64", "--steps-per-call", "1", "--epochs", "2",
+         "--mesh", "8", "--tp-shard", "--val-frac", "0.25",
+         "--ckpt-dir", str(tmp_path / "ckpt"), "--metrics", str(metrics)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "tensor-parallel (shard_map, kernels kept)" in out.stdout
+    recs = read_jsonl(str(metrics))
+    assert any("val_total" in r for r in recs), recs
+    assert any("mse_image->trajectory" in r for r in recs), recs
+    for bad, msg in (
+        (["--config", "5", "--mesh", "8", "--tp-shard", "--zero"],
+         "owns the whole layout"),
+        (["--config", "3", "--tp-shard"], "require --mesh"),
+    ):
+        args = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+                "--epochs", "1"] + bad
+        out = subprocess.run(args, env=env, capture_output=True, text=True,
+                             timeout=600)
+        assert out.returncode != 0
+        assert msg in out.stderr, (bad, out.stderr[-2000:])
+
+
 def test_resume_reproduces_uninterrupted_run(rng):
     """Checkpoint determinism: save at step N, train M more; restore and
     retrain M — identical losses (exact-resume guarantee, SURVEY.md §5)."""

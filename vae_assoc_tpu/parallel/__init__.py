@@ -54,6 +54,10 @@ from vae_assoc_tpu.parallel.tp import (
     tp_train_loop,
 )
 
+# The shard_map TP layout (kernels kept) deliberately mirrors the GSPMD
+# tp.py function names — use it namespaced: `tp_shard.make_tp_train_step`.
+from vae_assoc_tpu.parallel import tp_shard
+
 __all__ = [
     "make_mesh",
     "make_multihost_mesh",
@@ -96,4 +100,5 @@ __all__ = [
     "make_tp_train_step",
     "init_tp_train_state",
     "tp_train_loop",
+    "tp_shard",
 ]

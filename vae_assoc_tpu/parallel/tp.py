@@ -169,12 +169,14 @@ def _check_tp_mesh(mesh: Mesh, tc: TrainConfig, cfg: AssocConfig) -> None:
         )
     if tc.use_pallas:
         raise ValueError(
-            "TP runs the jnp model path: Pallas kernels are single-chip "
-            "programs and do not split along feature dims. Use "
-            "TrainConfig(use_pallas=False) with tensor parallelism, or — if "
-            "the goal is sharding STATE while keeping the kernels — the "
-            "shard_map ZeRO layout (parallel/zero.py, driver --zero); see "
-            "the chooser table in docs/PARALLEL.md."
+            "GSPMD TP runs the jnp model path: the partitioner cannot split "
+            "a pallas_call along feature dims. Kernel-keeping alternatives: "
+            "the shard_map TP layout (parallel/tp_shard.py, driver "
+            "--tp-shard — hand column x row splits around the fused block "
+            "kernels), or the shard_map ZeRO layout (parallel/zero.py, "
+            "--zero) if the goal is sharding STATE; or set "
+            "TrainConfig(use_pallas=False) here. Chooser table: "
+            "docs/PARALLEL.md."
         )
 
 

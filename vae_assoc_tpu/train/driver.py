@@ -307,6 +307,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "all-gather weights / reduce-scatter grads). Unlike "
                         "--fsdp this composes with the fused Pallas kernels "
                         "(--use-pallas, config 5's default)")
+    p.add_argument("--tp-shard", action="store_true",
+                   help="with --mesh N, shard_map tensor parallelism that "
+                        "KEEPS the fused kernels (parallel/tp_shard.py): "
+                        "Megatron column x row layer-pair splits around the "
+                        "width-agnostic block kernels, one psum per pair; "
+                        "batch replicated. MLP towers only. Unlike "
+                        "--model-parallel (GSPMD, jnp path) this composes "
+                        "with --use-pallas")
     return p
 
 
@@ -441,6 +449,10 @@ def main(argv=None) -> int:
         raise SystemExit("--zero owns the whole layout (a 1-D shard_map "
                          "data mesh); it cannot combine with --fsdp or "
                          "--model-parallel")
+    if args.tp_shard and (args.fsdp or args.model_parallel > 1 or args.zero):
+        raise SystemExit("--tp-shard owns the whole layout (a 1-D shard_map "
+                         "model mesh); it cannot combine with --fsdp/"
+                         "--model-parallel/--zero")
     if args.fsdp or args.model_parallel > 1:
         # TP/FSDP lay out the jnp step (GSPMD shardings on the plain model
         # path). The *effective* kernel choice comes from the config, not
@@ -454,11 +466,12 @@ def main(argv=None) -> int:
     if args.pipeline:
         if args.pipeline < 2:
             raise SystemExit("--pipeline needs S >= 2 stages")
-        if args.model_parallel > 1 or args.fsdp or args.zero or args.fused:
+        if (args.model_parallel > 1 or args.fsdp or args.zero or args.fused
+                or args.tp_shard):
             raise SystemExit(
                 "--pipeline owns the whole layout (a shard_map stage mesh, "
                 "optionally × data with --mesh N); it cannot combine with "
-                "--model-parallel/--fsdp/--zero/--fused"
+                "--model-parallel/--fsdp/--zero/--tp-shard/--fused"
             )
         if args.mesh:
             # DP×PP: --mesh N is the TOTAL device count (like
@@ -579,6 +592,7 @@ def main(argv=None) -> int:
             (args.model_parallel > 1, "--model-parallel"),
             (args.fsdp, "--fsdp"),
             (args.zero, "--zero"),
+            (args.tp_shard, "--tp-shard"),
             (args.pipeline > 0, "--pipeline"),
         ):
             if bad:
@@ -710,12 +724,20 @@ def main(argv=None) -> int:
             mesh = make_mesh(n_mesh)
             print(f"ZeRO-sharded data-parallel (shard_map) over {n_mesh} "
                   "devices", flush=True)
+        elif args.tp_shard:
+            from vae_assoc_tpu.parallel import tp_shard as tps_mod
+
+            tps_mod.check_tp_shard(cfg, tc)  # fail before data prep
+            mesh = tps_mod.make_tp_mesh(n_mesh)
+            print(f"tensor-parallel (shard_map, kernels kept) over {n_mesh} "
+                  "devices", flush=True)
         else:
             mesh = make_mesh(n_mesh)
             print(f"data-parallel over {n_mesh} devices", flush=True)
-    elif mp > 1 or args.fsdp or args.zero:
+    elif mp > 1 or args.fsdp or args.zero or args.tp_shard:
         raise SystemExit(
-            "--model-parallel/--fsdp/--zero require --mesh N with N > 1")
+            "--model-parallel/--fsdp/--zero/--tp-shard require --mesh N "
+            "with N > 1")
 
     pp_mesh = None
     if args.pipeline:
@@ -770,6 +792,10 @@ def main(argv=None) -> int:
             state = shard_fsdp_train_state(mesh, state, cfg, tc)
         elif args.zero:
             state = shard_zero_train_state(mesh, state, cfg, tc)
+        elif args.tp_shard:
+            from vae_assoc_tpu.parallel import tp_shard as tps_mod
+
+            state = tps_mod.shard_tp_train_state(mesh, state, cfg, tc)
         else:
             state = replicate(mesh, state)
     if pp_mesh is not None:
@@ -782,6 +808,10 @@ def main(argv=None) -> int:
     def to_full(s):
         if args.zero:
             return gather_zero_train_state(s, cfg, tc)
+        if args.tp_shard:
+            from vae_assoc_tpu.parallel import tp_shard as tps_mod
+
+            return tps_mod.gather_tp_train_state(s, cfg, tc)
         if args.pipeline:
             return pp_mod.gather_pp_train_state(s, cfg, tc, args.pipeline)
         return s
@@ -847,6 +877,11 @@ def main(argv=None) -> int:
                 return fsdp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
             if args.zero:
                 return zero_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
+            if args.tp_shard:
+                from vae_assoc_tpu.parallel import tp_shard as tps_mod
+
+                return tps_mod.tp_train_loop(cfg, tc, data, mesh,
+                                             epochs=epochs, state=state)
             return dp_train_loop(cfg, tc, data, mesh, epochs=epochs, state=state)
         if args.fused:
             return train_loop_fused(cfg, tc, data, epochs=epochs, state=state)
