@@ -46,9 +46,18 @@ def _model_flops_per_step(cfg, tc):
     """XLA's own flop count for ONE optimizer step of the declared config —
     the same `compiled.cost_analysis()` the driver's --dry-compile prints
     (train/driver.py). AOT lowering on abstract inputs: nothing touches
-    device memory, so this doesn't perturb the timed runs."""
+    device memory, so this doesn't perturb the timed runs.
+
+    Costed on the use_pallas=False spelling: XLA's cost model scores a
+    `tpu_custom_call` as zero flops (Mosaic kernels are opaque to it), so
+    costing the mega program itself reported ~9.8 MFLOPs/step — the
+    Adam/shuffle/assoc leftovers only. The jnp spelling is the identical
+    math (the kernels' parity contract), so its count IS the model's."""
+    import dataclasses
+
     from vae_assoc_tpu.train.step import init_train_state, make_train_step
 
+    tc = dataclasses.replace(tc, use_pallas=False)
     state_s = jax.eval_shape(lambda: init_train_state(cfg, tc))
     spc = tc.steps_per_call
 
@@ -65,7 +74,11 @@ def _model_flops_per_step(cfg, tc):
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     flops = (cost or {}).get("flops")
-    return flops / max(spc, 1) if flops else None
+    # NO division by steps_per_call: XLA's cost model counts a lax.scan
+    # body ONCE, not x trip count (measured: spc=1 and spc=4 both report
+    # 1.876e11 for this config), so the returned number already IS one
+    # optimizer step.
+    return flops if flops else None
 
 
 def main():
