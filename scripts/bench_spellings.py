@@ -73,7 +73,9 @@ ARMS = {
     "cond=10   mega              ": make_arm(use_pallas="mega", n_cond=N_COND),
     "sample_l2 composable        ": make_arm(use_pallas=True, assoc_form="sample_l2"),
     "sym_kl    composable        ": make_arm(use_pallas=True, assoc_form="sym_kl"),
+    "sym_kl    mega (round 4)    ": make_arm(use_pallas="mega", assoc_form="sym_kl"),
     "infonce   composable        ": make_arm(use_pallas=True, assoc_form="infonce"),
+    "infonce   mega (round 4)    ": make_arm(use_pallas="mega", assoc_form="infonce"),
 }
 
 states = {}

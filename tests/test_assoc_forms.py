@@ -160,11 +160,11 @@ def test_loss_fn_pallas_matches_jnp(rng, form):
         )
 
 
-@pytest.mark.parametrize("form", ("sample_l2", "sym_kl", "infonce"))
-def test_mega_falls_back_for_nondefault_forms(rng, form):
-    """The megakernel only surfaces mu, so non-default forms must route to
-    the composable-kernel path — "mega" equals use_pallas=True exactly."""
-    cfg = _cfg(form)
+def test_mega_falls_back_for_sample_l2(rng):
+    """sample_l2 couples the SAMPLED z, which stays inside the megakernel
+    (the fused sampler never writes it) — it must route to the composable
+    path, where "mega" equals use_pallas=True exactly."""
+    cfg = _cfg("sample_l2")
     params = init_assoc(jax.random.key(0), cfg)
     xs = _batch(rng)
     eps = [
@@ -176,6 +176,30 @@ def test_mega_falls_back_for_nondefault_forms(rng, form):
     assert float(t_m) == float(t_p)
     for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_p)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("form", ("sym_kl", "infonce"))
+def test_mega_serves_mu_lv_forms(rng, form):
+    """sym_kl and infonce couple μ/logσ², which the megakernel surfaces
+    with VJP cotangents (round 4): the mega path must MATCH the jnp path's
+    loss and param grads (same injected ε), not fall back."""
+    from vae_assoc_tpu.models import assoc as assoc_mod
+
+    cfg = _cfg(form)
+    assert assoc_mod.mega_fallback_reason(cfg) is None
+    params = init_assoc(jax.random.key(0), cfg)
+    xs = _batch(rng)
+    eps = [
+        jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+        for _ in range(2)
+    ]
+    t_m, g_m = _loss_and_grads(cfg, params, xs, use_pallas="mega", eps=eps)
+    t_j, g_j = _loss_and_grads(cfg, params, xs, use_pallas=False, eps=eps)
+    np.testing.assert_allclose(float(t_m), float(t_j), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_m), jax.tree.leaves(g_j)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        )
 
 
 def test_forms_are_distinct_objectives(rng):

@@ -132,10 +132,15 @@ def mega_fallback_reason(cfg: AssocConfig):
     up front (driver validation, tests)."""
     from vae_assoc_tpu.configs import gener_widths, recog_widths
 
-    if cfg.assoc_form != "mean_l2":
+    if cfg.assoc_form == "sample_l2":
+        # The only form the megakernel cannot serve: it couples the SAMPLED
+        # latents, and z stays in-kernel (the sampler is fused). mean_l2,
+        # sym_kl and infonce couple μ/logσ², which the kernels surface
+        # (with VJP cotangents) — round 4 lifted the round-3 over-broad
+        # "non-default forms fall back" gate.
         return (
-            f"assoc_form={cfg.assoc_form!r} needs logσ²/z outside the "
-            "kernel (the megakernel only surfaces μ)"
+            "assoc_form='sample_l2' couples the sampled z, which stays "
+            "inside the megakernel (the fused sampler never writes it)"
         )
     for m in cfg.modalities:
         if m.transfer != "softplus":
@@ -186,9 +191,9 @@ def assoc_loss_fn(
         # fallback semantics: a conv modality, a non-softplus transfer, or
         # a deeper arch dict routes the whole loss through the
         # composable-kernel path, which is depth-generic and itself falls
-        # back per modality. Non-default association forms fall back too:
-        # the megakernel only surfaces μ (sampled z and logσ² stay
-        # in-kernel), so sample_l2/sym_kl have nothing to couple.
+        # back per modality. Of the association forms only sample_l2
+        # falls back: it couples the sampled z, which stays in-kernel;
+        # mean_l2/sym_kl/infonce couple the surfaced μ/logσ² (round 4).
         reason = mega_fallback_reason(cfg)
         if reason is None:
             return _assoc_loss_mega(
@@ -287,7 +292,7 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond
         eps = [None] * k
     metrics = {}
     total = jnp.float32(0.0)
-    mus = []
+    mus, lvs = [], []
     for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps):
         if m.encoder in ("conv", "conv_pallas"):
             # Conv modalities keep the encoder field's XLA-vs-Pallas
@@ -312,7 +317,16 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond
         metrics[f"kl_{m.name}"] = jnp.mean(out["kl_term"])
         total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
         mus.append(out["mu"])
-    assoc = jnp.mean(losses.assoc_loss(mus))
+        lvs.append(out["lv"])
+    # Association term in XLA from the surfaced μ/logσ² (the kernels'
+    # custom VJPs carry both cotangents): mean_l2, sym_kl and infonce all
+    # ride the mega path — only sample_l2 needs the in-kernel z
+    # (mega_fallback_reason gates it out above).
+    assoc = jnp.mean(
+        losses.assoc_loss(
+            mus, z_logvars=lvs, form=cfg.assoc_form, temp=cfg.assoc_temp
+        )
+    )
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total
