@@ -52,20 +52,23 @@ def _model_flops_per_step(cfg, tc):
     `tpu_custom_call` as zero flops (Mosaic kernels are opaque to it), so
     costing the mega program itself reported ~9.8 MFLOPs/step — the
     Adam/shuffle/assoc leftovers only. The jnp spelling is the identical
-    math (the kernels' parity contract), so its count IS the model's."""
+    math (the kernels' parity contract), so its count IS the model's.
+
+    Costed at steps_per_call=1 — a program that is ONE optimizer step by
+    construction (no lax.scan at all), so the count cannot depend on how a
+    given XLA release attributes scan trip counts (round-4 ADVICE #2; the
+    previous spelling relied on the observed body-counted-once behavior:
+    spc=1 and spc=4 both reported 1.876e11 for this config)."""
     import dataclasses
 
     from vae_assoc_tpu.train.step import init_train_state, make_train_step
 
-    tc = dataclasses.replace(tc, use_pallas=False)
+    tc = dataclasses.replace(tc, use_pallas=False, steps_per_call=1)
     state_s = jax.eval_shape(lambda: init_train_state(cfg, tc))
-    spc = tc.steps_per_call
-
-    def batch_struct(n):
-        shape = (spc, tc.batch_size, n) if spc > 1 else (tc.batch_size, n)
-        return jax.ShapeDtypeStruct(shape, jnp.float32)
-
-    xs = [batch_struct(m.arch["n_input"]) for m in cfg.modalities]
+    xs = [
+        jax.ShapeDtypeStruct((tc.batch_size, m.arch["n_input"]), jnp.float32)
+        for m in cfg.modalities
+    ]
     try:
         compiled = make_train_step(cfg, tc).lower(state_s, xs).compile()
         cost = compiled.cost_analysis()
@@ -74,10 +77,6 @@ def _model_flops_per_step(cfg, tc):
     if isinstance(cost, (list, tuple)):
         cost = cost[0] if cost else {}
     flops = (cost or {}).get("flops")
-    # NO division by steps_per_call: XLA's cost model counts a lax.scan
-    # body ONCE, not x trip count (measured: spc=1 and spc=4 both report
-    # 1.876e11 for this config), so the returned number already IS one
-    # optimizer step.
     return flops if flops else None
 
 

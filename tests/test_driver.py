@@ -331,6 +331,10 @@ def test_driver_config5_tp_shard_layout(tmp_path):
         (["--config", "5", "--mesh", "8", "--tp-shard", "--zero"],
          "owns the whole layout"),
         (["--config", "3", "--tp-shard"], "require --mesh"),
+        (["--config", "5", "--mesh", "8", "--data-parallel", "2"],
+         "requires --tp-shard"),
+        (["--config", "5", "--mesh", "8", "--tp-shard",
+          "--data-parallel", "3"], "not divisible"),
     ):
         args = [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
                 "--epochs", "1"] + bad
@@ -338,6 +342,31 @@ def test_driver_config5_tp_shard_layout(tmp_path):
                              timeout=600)
         assert out.returncode != 0
         assert msg in out.stderr, (bad, out.stderr[-2000:])
+
+
+def test_driver_config5_tp_dp_layout(tmp_path):
+    """--tp-shard --data-parallel D: DP×TP on one 2-D ('data','model')
+    shard_map mesh with the config-5 Pallas kernels kept (round 5)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8")
+    metrics = tmp_path / "metrics.jsonl"
+    out = subprocess.run(
+        [sys.executable, "-m", "vae_assoc_tpu.train.driver", "--cpu",
+         "--config", "5", "--data", "synthetic", "--n-samples", "256",
+         "--batch-size", "64", "--steps-per-call", "1", "--epochs", "2",
+         "--mesh", "8", "--tp-shard", "--data-parallel", "2",
+         "--val-frac", "0.25",
+         "--ckpt-dir", str(tmp_path / "ckpt"), "--metrics", str(metrics)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "DPxTP (shard_map, kernels kept): 2 data shards x 4 model" \
+        in out.stdout
+    recs = read_jsonl(str(metrics))
+    assert any("val_total" in r for r in recs), recs
+    assert any("mse_image->trajectory" in r for r in recs), recs
 
 
 def test_resume_reproduces_uninterrupted_run(rng):

@@ -156,7 +156,14 @@ def test_mega_fallback_warns_with_reason(rng):
         jnp.asarray(rng.normal(size=(16, 36)).astype(np.float32)),
     ]
     eps = [jnp.asarray(rng.normal(size=(16, 6)).astype(np.float32)) for _ in range(2)]
-    with pytest.warns(UserWarning, match="fell back to the composable"):
+    # Dedicated category (round-4 ADVICE): `-W error` processes can
+    # whitelist exactly this documented fallback notice.
+    with pytest.warns(assoc_mod.MegaFallbackWarning,
+                      match="fell back to the composable"):
+        assoc_mod.assoc_loss_fn(params, xs, cfg, eps=eps, use_pallas="mega")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # everything else is fatal...
+        warnings.simplefilter("ignore", assoc_mod.MegaFallbackWarning)
         assoc_mod.assoc_loss_fn(params, xs, cfg, eps=eps, use_pallas="mega")
 
     # The mega-eligible config must NOT warn.

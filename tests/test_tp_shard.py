@@ -223,15 +223,6 @@ def test_tp_rejections():
     )
     with pytest.raises(ValueError, match="zero"):
         tp_shard.make_tp_train_step(conv_cfg, TrainConfig(batch_size=8), mesh)
-    cond_cfg = AssocConfig(
-        [
-            dataclasses.replace(cfg.modalities[0], n_cond=4),
-            dataclasses.replace(cfg.modalities[1], n_cond=4),
-        ],
-        assoc_lambda=0.7,
-    )
-    with pytest.raises(ValueError, match="conditional"):
-        tp_shard.make_tp_train_step(cond_cfg, TrainConfig(batch_size=8), mesh)
     with pytest.raises(ValueError, match="parity"):
         tp_shard.make_tp_train_step(
             cfg, TrainConfig(batch_size=8, parity_mode=True), mesh
@@ -240,8 +231,207 @@ def test_tp_rejections():
         tp_shard.make_tp_train_step(
             cfg, TrainConfig(batch_size=8, remat=True), mesh
         )
+    # A foreign 2-D mesh (wrong axis names/order) is still rejected; the
+    # supported 2-D layout is make_tp_mesh(..., data_parallel=D)'s
+    # ('data','model').
+    from jax.sharding import Mesh
+
+    wrong = Mesh(
+        np.asarray(jax.devices()[:8]).reshape(2, 4), ("model", "data")
+    )
+    with pytest.raises(ValueError, match="mesh"):
+        tp_shard.make_tp_train_step(cfg, TrainConfig(batch_size=8), wrong)
+    with pytest.raises(ValueError, match="divisible"):
+        tp_shard.make_tp_mesh(8, data_parallel=3)
+
+
+# ---------------------------------------------------------------------------
+# DP×TP on one 2-D ('data','model') mesh (round 5, VERDICT r4 #1)
+# ---------------------------------------------------------------------------
+
+
+def test_tp_dp_trajectory_matches_plain_dp():
+    """The 2-D step at the same global batch equals plain DP: same data
+    shards, same per-shard ε folding (axis_index('data')), so the
+    trajectories agree at fp32-reassociation tolerance."""
+    from vae_assoc_tpu.parallel import dp as dp_mod
     from vae_assoc_tpu.parallel import mesh as mesh_mod
 
-    mesh2d = mesh_mod.make_mesh(8, model_axis="model", model_parallel=2)
-    with pytest.raises(ValueError, match="1-D"):
-        tp_shard.make_tp_train_step(cfg, TrainConfig(batch_size=8), mesh2d)
+    rng = np.random.default_rng(10)
+    cfg = _cfg(2)
+    tc = TrainConfig(batch_size=16, use_pallas=False)
+    xs = _data(rng)
+
+    dp_mesh = mesh_mod.make_mesh(2)
+    dp_state = dp_mod.init_dp_train_state(cfg, tc, dp_mesh)
+    dp_step = dp_mod.make_dp_train_step(cfg, tc, dp_mesh)
+
+    mesh2 = tp_shard.make_tp_mesh(8, data_parallel=2)
+    assert dict(mesh2.shape) == {"data": 2, "model": 4}
+    tp_state = tp_shard.shard_tp_train_state(
+        mesh2, init_train_state(cfg, tc), cfg, tc
+    )
+    tp_step = tp_shard.make_tp_train_step(cfg, tc, mesh2)
+
+    dp_ms, tp_ms = [], []
+    for _ in range(4):
+        dp_state, m = dp_step(dp_state, mesh_mod.shard_batch(dp_mesh, xs))
+        dp_ms.append(m)
+        tp_state, mt = tp_step(
+            tp_state, mesh_mod.shard_batch(mesh2, xs, batch_axes="data")
+        )
+        tp_ms.append(mt)
+    for mr, mt in zip(dp_ms, tp_ms):
+        for k in mr:
+            np.testing.assert_allclose(
+                float(mr[k]), float(mt[k]), rtol=2e-4, atol=2e-5, err_msg=k
+            )
+    gathered = tp_shard.gather_tp_train_state(tp_state, cfg, tc)
+    for a, b in zip(
+        jax.tree.leaves(dp_state.params), jax.tree.leaves(gathered.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tp_dp_clip_accum_ema_compose_and_pads_stay_zero():
+    """Production optimizer options on the 2-D mesh: grad_norm and totals
+    match plain DP, and the pad-row masking discipline holds under real
+    Adam updates with the data axis present."""
+    from vae_assoc_tpu.parallel import dp as dp_mod
+    from vae_assoc_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(11)
+    cfg = _cfg(2)
+    tc = TrainConfig(
+        batch_size=16, grad_clip_norm=0.5, accum_steps=2, ema_decay=0.9
+    )
+    xs = _data(rng)
+    dp_mesh = mesh_mod.make_mesh(2)
+    dp_state = dp_mod.init_dp_train_state(cfg, tc, dp_mesh)
+    dp_step = dp_mod.make_dp_train_step(cfg, tc, dp_mesh)
+    mesh2 = tp_shard.make_tp_mesh(8, data_parallel=2)
+    tp_state = tp_shard.shard_tp_train_state(
+        mesh2, init_train_state(cfg, tc), cfg, tc
+    )
+    tp_step = tp_shard.make_tp_train_step(cfg, tc, mesh2)
+    for _ in range(6):
+        dp_state, mr = dp_step(dp_state, mesh_mod.shard_batch(dp_mesh, xs))
+        tp_state, mt = tp_step(
+            tp_state, mesh_mod.shard_batch(mesh2, xs, batch_axes="data")
+        )
+        np.testing.assert_allclose(
+            float(mr["grad_norm"]), float(mt["grad_norm"]), rtol=2e-4, atol=2e-5
+        )
+        np.testing.assert_allclose(
+            float(mr["total"]), float(mt["total"]), rtol=2e-4, atol=2e-5
+        )
+    p0 = tp_state.params["modalities"][0]
+    assert (np.asarray(p0["recog"]["h1"]["w"])[:, 20:] == 0).all()
+    assert (np.asarray(p0["recog"]["h2"]["w"])[20:, :] == 0).all()
+    gathered = tp_shard.gather_tp_train_state(tp_state, cfg, tc)
+    for a, b in zip(
+        jax.tree.leaves(dp_state.params), jax.tree.leaves(gathered.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tp_dp_kernel_path_runs_and_learns():
+    """use_pallas blocks + data axis + conditional model, all at once: the
+    widened closed world composes on the 2-D mesh and learns."""
+    from vae_assoc_tpu.parallel import mesh as mesh_mod
+
+    rng = np.random.default_rng(12)
+    n_cond = 3
+    base = _cfg(2)
+    cfg = AssocConfig(
+        [dataclasses.replace(m, n_cond=n_cond) for m in base.modalities],
+        assoc_lambda=base.assoc_lambda,
+    )
+    tc = TrainConfig(batch_size=16, use_pallas=True)
+    mesh2 = tp_shard.make_tp_mesh(8, data_parallel=2)
+    state = tp_shard.init_tp_train_state(cfg, tc, mesh2)
+    step = tp_shard.make_tp_train_step(cfg, tc, mesh2)
+    labels = rng.integers(0, n_cond, 16)
+    xs = list(_data(rng)) + [jnp.asarray(np.eye(n_cond, dtype=np.float32)[labels])]
+    xs = mesh_mod.shard_batch(mesh2, xs, batch_axes="data")
+    hist = []
+    for _ in range(8):
+        state, m = step(state, xs)
+        hist.append(float(m["total"]))
+    assert np.isfinite(hist).all() and hist[-1] < hist[0]
+
+
+def test_tp_conditional_matches_single_device():
+    """Pure TP (replicated batch) with a conditional model equals the
+    single-device step: the cond concat happens at the same call boundary
+    (VERDICT r4 #4 — the n_cond rejection was structurally unnecessary)."""
+    rng = np.random.default_rng(13)
+    n_cond = 4
+    base = _cfg(2)
+    cfg = AssocConfig(
+        [dataclasses.replace(m, n_cond=n_cond) for m in base.modalities],
+        assoc_lambda=base.assoc_lambda,
+    )
+    tc = TrainConfig(batch_size=16, use_pallas=False)
+    labels = rng.integers(0, n_cond, 16)
+    cond = jnp.asarray(np.eye(n_cond, dtype=np.float32)[labels])
+    xs = list(_data(rng)) + [cond]
+    ref_state, ref_ms, gathered, tp_ms = _run_pair(cfg, tc, xs)
+    for mr, mt in zip(ref_ms, tp_ms):
+        for k in mr:
+            np.testing.assert_allclose(
+                float(mr[k]), float(mt[k]), rtol=2e-4, atol=2e-5, err_msg=k
+            )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(gathered.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tp_nonsoftplus_transfer_matches_single_device():
+    """A tanh-transfer modality rides tp_shard on the jnp block twin (the
+    Pallas block kernels hard-code softplus); trajectory equality holds."""
+    rng = np.random.default_rng(14)
+    base = _cfg(2)
+    cfg = AssocConfig(
+        [dataclasses.replace(m, transfer="tanh") for m in base.modalities],
+        assoc_lambda=base.assoc_lambda,
+    )
+    tc = TrainConfig(batch_size=16, use_pallas=True)  # falls back per modality
+    xs = _data(rng)
+    ref_state, ref_ms, gathered, tp_ms = _run_pair(cfg, tc, xs)
+    for mr, mt in zip(ref_ms, tp_ms):
+        np.testing.assert_allclose(
+            float(mr["total"]), float(mt["total"]), rtol=2e-4, atol=2e-5
+        )
+    for a, b in zip(
+        jax.tree.leaves(ref_state.params), jax.tree.leaves(gathered.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_tp_dp_train_loop_and_ckpt_roundtrip():
+    """The epoch loop shards batches over the data axis; gather/shard
+    round-trips bitwise on the 2-D mesh (checkpoint interop)."""
+    cfg = _cfg(2)
+    tc = TrainConfig(batch_size=8, steps_per_call=2)
+    mesh2 = tp_shard.make_tp_mesh(8, data_parallel=2)
+    rng = np.random.default_rng(15)
+    data = [
+        rng.uniform(0, 1, (64, 40)).astype(np.float32),
+        rng.normal(size=(64, 36)).astype(np.float32),
+    ]
+    state, hist = tp_shard.tp_train_loop(cfg, tc, data, mesh2, epochs=2)
+    assert len(hist) == 2 and np.isfinite(hist[-1]["total"])
+    full = tp_shard.gather_tp_train_state(state, cfg, tc)
+    back = tp_shard.gather_tp_train_state(
+        tp_shard.shard_tp_train_state(mesh2, full, cfg, tc), cfg, tc
+    )
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(back)):
+        if jnp.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -286,24 +286,33 @@ def _plan(weights, per_row: int, b: int):
 
 
 # Per-sample live-row bytes (fp32, lane-padded): input + activations +
-# matmul/selection temps, sized from the fixed config-4 geometry.
-_ENC_PER_ROW = 4 * (
-    30 * 128        # row-padded x
-    + 4 * 14 * 512  # a1 + conv1 acc/selection temps
-    + 3 * 7 * 512   # a2 + conv2 temps
-    + 2 * 512       # h + dense acc
-    + 4 * 128       # heads
-)
-_DEC_PER_ROW = 4 * (
-    128             # z
-    + 2 * 512       # g1
-    + 3 * 7 * 512   # g2 chunks
-    + 9 * 512       # row-padded g2
-    + 4 * 7 * 512   # convt1 parity groups + interleave
-    + 3 * 14 * 512  # d1p + row pad
-    + 4 * 14 * 128  # convt2 groups + r
-    + 28 * 128      # x target
-)
+# matmul/selection temps. The conv geometry (28×28, C1/C2 channels) is
+# pinned by config validation, but the dense hidden widths hr/hg and n_z
+# come from the arch dict — size their terms from the actual shapes so a
+# wide hidden under the encoder="conv_pallas" opt-in raises the
+# vmem_limit request instead of undersizing it (round-4 ADVICE #3; the
+# defaults hr=hg=500, n_z=20 reproduce the previous constants exactly).
+def _enc_per_row(hr: int, n_z: int) -> int:
+    return 4 * (
+        30 * 128                # row-padded x
+        + 4 * 14 * 512          # a1 + conv1 acc/selection temps
+        + 3 * 7 * 512           # a2 + conv2 temps
+        + 2 * _lane(hr)         # h + dense acc
+        + 4 * _lane(n_z)        # heads
+    )
+
+
+def _dec_per_row(hg: int, n_z: int) -> int:
+    return 4 * (
+        _lane(n_z)              # z
+        + 2 * _lane(hg)         # g1
+        + 3 * 7 * 512           # g2 chunks
+        + 9 * 512               # row-padded g2
+        + 4 * 7 * 512           # convt1 parity groups + interleave
+        + 3 * 14 * 512          # d1p + row pad
+        + 4 * 14 * 128          # convt2 groups + r
+        + 28 * 128              # x target
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +340,7 @@ def _conv_tower_fwd(kind, cd, flat, x3, eps):
     hg = flat[10].shape[1]
 
     enc_w = _enc_widx(flat)
-    tile, cparams = _plan(enc_w, _ENC_PER_ROW, b)
+    tile, cparams = _plan(enc_w, _enc_per_row(hr, n_z), b)
     img_spec = pl.BlockSpec(
         (tile, IMG_SIZE, IMG_SIZE), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
@@ -360,7 +369,7 @@ def _conv_tower_fwd(kind, cd, flat, x3, eps):
     z = mu + jnp.exp(0.5 * lv) * eps
 
     dec_w = _dec_widx(flat)
-    tile_d, cparams_d = _plan(dec_w, _DEC_PER_ROW, b)
+    tile_d, cparams_d = _plan(dec_w, _dec_per_row(hg, n_z), b)
     rowd = lambda n: pl.BlockSpec(
         (tile_d, n), lambda i: (i, 0), memory_space=pltpu.VMEM
     )

@@ -46,25 +46,45 @@ exact locally (each shard touches the loss only through its own block).
 the replicated leaves counted once (`_tp_global_norm`), matching
 `optax.clip_by_global_norm` on the equivalent single-device step.
 
+**DP×TP on one 2-D mesh (round 5).** `make_tp_mesh(n, data_parallel=D)`
+builds a ``('data','model')`` mesh: batches shard over `data` (dp.py's
+loss-pmean gradient sync), the Megatron pair blocks split over `model`,
+and the SAME width-agnostic Pallas block kernels run inside. The
+data-axis gradient sync costs no hand-written collective either: the
+model-sharded weights get an invariant→varying cast over `data` at each
+kernel boundary (`_vary_union`), whose transpose is exactly the psum that
+sums their cotangents across data shards; replicated leaves reduce
+through the loss pmean as in plain DP. ε folds `axis_index('data')` (one
+stream per data shard, shared across its model column), so the 2-D step
+is trajectory-comparable to `parallel/dp.py` at the same global batch.
+This closes the round-4 composition hole (VERDICT r4 weak #1): batch
+scaling and layer scaling with kernels intact, in one layout.
+
 Scope (rejected loudly, with the kernel-keeping alternatives named):
-conditional models (n_cond>0), conv encoders, parity_mode, remat, and
-non-softplus transfers — `parallel/zero.py` (sharded state) and
-`parallel/dp.py` (sharded batch) cover all of those with kernels intact.
-The batch is replicated (pure TP); compose data×tensor parallelism with
-the GSPMD `parallel/tp_fsdp.py` instead, or run `--zero` when the goal is
-state memory rather than per-layer FLOP spreading.
+conv encoders, parity_mode, and remat — `parallel/zero.py` (sharded
+state) and `parallel/dp.py` (sharded batch) cover those with kernels
+intact. Conditional models (n_cond>0) ride normally (round 5, VERDICT r4
+weak #2): the condition is a concat at the call boundary feeding the same
+width-agnostic kernels (CLAUDE.md's one-trailing-batch-entry convention),
+widening only the un-split input rows of the first COL layer. Non-softplus
+transfers run too, on the jnp block twin — the fused Pallas block kernels
+hard-code softplus in their fwd AND hand-written VJP (kernels/mlp.py
+`_mm_softplus`/the bwd's analytic sigmoid factor), so a non-softplus
+modality routes its blocks through `networks.decode_mlp` with the
+configured transfer, exactly `vae._net_fns`' per-modality fallback rule.
 
 Verified (tests/test_tp_shard.py, 8-virtual-device CPU mesh): training
 trajectory matches the single-device jnp step at fp32 tolerances for
-depths 1/2/3, shard+gather round-trips bitwise, the compiled HLO contains
-psum all-reduces (and all-gathers for odd depths), clip/accumulation/EMA
+depths 1/2/3, the 2-D step matches plain DP at the same global batch,
+shard+gather round-trips bitwise, the compiled HLO contains psum
+all-reduces (and all-gathers for odd depths), clip/accumulation/EMA
 compose, checkpoints restore across layouts. On TPU,
 `scripts/smoke_dp_tpu.py --tp-shard` proves the blocks execute as
 compiled Mosaic kernels under the mesh.
 
 Reference anchor: the reference trains single-device TF1 (SURVEY.md §2.2);
 this layout exists so its largest configs scale over ICI without leaving
-the measured-fastest kernels, per VERDICT r3 "next" #6.
+the measured-fastest kernels, per VERDICT r3 "next" #6 and r4 "next" #1.
 """
 
 from __future__ import annotations
@@ -96,20 +116,42 @@ AXIS = mesh_mod.MODEL_AXIS
 COL, ROW, COLSPLIT, REPL = "col", "row", "colsplit", "repl"
 
 
-def make_tp_mesh(n_devices=None) -> Mesh:
-    """1-D mesh over the model axis (the whole layout is hand-written, so
-    the axis is the only thing the mesh needs to name)."""
-    return mesh_mod.make_mesh(n_devices, data_axis=AXIS)
+def make_tp_mesh(n_devices=None, *, data_parallel: int = 1) -> Mesh:
+    """Mesh for the kernel-keeping TP layout.
+
+    ``data_parallel == 1``: 1-D ``('model',)`` mesh — pure TP, batches
+    replicated. ``data_parallel = D > 1``: 2-D ``('data','model')`` mesh
+    with D data shards × N/D model shards — DP×TP, batches sharded over
+    `data`. The `data` axis is OUTER so each model group's psums ride
+    adjacent devices (ICI-local on a real slice)."""
+    if data_parallel == 1:
+        return mesh_mod.make_mesh(n_devices, data_axis=AXIS)
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    if n_devices % data_parallel:
+        raise ValueError(
+            f"{n_devices} devices not divisible by data_parallel={data_parallel}"
+        )
+    return mesh_mod.make_mesh(
+        n_devices, model_axis=AXIS, model_parallel=n_devices // data_parallel
+    )
+
+
+def _mesh_info(mesh: Mesh):
+    """(n_model_shards, data_axis_name | None) for a tp_shard mesh."""
+    if mesh.axis_names == (AXIS,):
+        return int(mesh.shape[AXIS]), None
+    if mesh.axis_names == (mesh_mod.DATA_AXIS, AXIS):
+        return int(mesh.shape[AXIS]), mesh_mod.DATA_AXIS
+    raise ValueError(
+        f"tp_shard runs over a 1-D ('{AXIS}',) mesh or a 2-D "
+        f"('{mesh_mod.DATA_AXIS}','{AXIS}') mesh (make_tp_mesh); got "
+        f"{dict(mesh.shape)}."
+    )
 
 
 def _n_shards(mesh: Mesh) -> int:
-    if mesh.axis_names != (AXIS,):
-        raise ValueError(
-            f"tp_shard runs over a 1-D ('{AXIS}',) mesh (make_tp_mesh); got "
-            f"{dict(mesh.shape)}. For data-axis scaling compose with "
-            "parallel/dp.py or parallel/zero.py instead."
-        )
-    return int(mesh.shape[AXIS])
+    return _mesh_info(mesh)[0]
 
 
 def check_tp_shard(cfg: AssocConfig, tc: TrainConfig) -> None:
@@ -127,11 +169,6 @@ def check_tp_shard(cfg: AssocConfig, tc: TrainConfig) -> None:
             "already block-local); use --zero or the single-device step "
             "for rematerialized towers."
         )
-    if cfg.n_cond > 0:
-        raise ValueError(
-            "tp_shard does not implement conditional models; parallel/"
-            "zero.py (--zero) keeps the kernels and supports n_cond>0."
-        )
     for m in cfg.modalities:
         if m.encoder != "mlp":
             raise ValueError(
@@ -139,11 +176,11 @@ def check_tp_shard(cfg: AssocConfig, tc: TrainConfig) -> None:
                 f"encoder={m.encoder!r}. Conv towers scale under --zero "
                 "(sharded state) or --mesh DP with kernels intact."
             )
-        if m.transfer != "softplus":
-            raise ValueError(
-                f"modality {m.name!r} uses transfer={m.transfer!r}; the "
-                "fused block kernels implement softplus (kernels/mlp.py)."
-            )
+        # Conditional models and non-softplus transfers ride (round 5):
+        # the cond is a call-boundary concat feeding the width-agnostic
+        # blocks; a non-softplus modality routes its blocks through the
+        # jnp twin (the Pallas block kernels hard-code softplus in fwd +
+        # hand-written VJP) — see the module docstring.
 
 
 def _pad_to(width: int, n: int) -> int:
@@ -297,7 +334,19 @@ def shard_tp_train_state(
 
     n = _n_shards(mesh)
     put = _placer(mesh)
+    # The incoming state was built by the PLAIN optimizer (init_train_state)
+    # but will be stepped by the TP optimizer (psum'd-norm clip stage). The
+    # sharding below relies on their state treedefs matching — true while
+    # both clip stages are stateless; a future stateful clip/chain change
+    # must fail HERE, loudly, not mis-shard (round-4 ADVICE #1).
     opt = _tp_optimizer(tc, cfg)
+    tp_def = jax.tree.structure(jax.eval_shape(opt.init, state.params))
+    if jax.tree.structure(state.opt_state) != tp_def:
+        raise ValueError(
+            "optimizer-state structure mismatch: the TP optimizer's state "
+            "tree differs from the plain optimizer's (a stateful clip or "
+            "chain stage?) — shard_tp_train_state cannot re-lay it safely"
+        )
     repl = NamedSharding(mesh, P())
     spec_tree = tp_param_specs(cfg)
 
@@ -363,21 +412,43 @@ def init_tp_train_state(
 # ---------------------------------------------------------------------------
 
 
-def _block_kernel(tc: TrainConfig):
+def _block_kernel(tc: TrainConfig, transfer: str = "softplus"):
     """The per-block compute: the fused Pallas tower kernel (depth-1 +
     linear out = exactly one Megatron block) or its identical-math jnp
-    twin when the config asked for the XLA path."""
-    if tc.use_pallas:
+    twin — when the config asked for the XLA path, or for a non-softplus
+    modality (the block kernels hard-code softplus in fwd + VJP)."""
+    if tc.use_pallas and transfer == "softplus":
         from vae_assoc_tpu.kernels.mlp import decode_mlp_fused
 
         return decode_mlp_fused
-    return functools.partial(networks.decode_mlp, transfer=jax.nn.softplus)
+    from vae_assoc_tpu.configs import TRANSFER_FNS
+
+    return functools.partial(networks.decode_mlp, transfer=TRANSFER_FNS[transfer])
+
+
+def _vary_union(*arrs):
+    """Cast every array up to the UNION of the group's varying-across-axes
+    types. At a kernel boundary on the 2-D mesh the batch varies over
+    `data` and the weight shards over `model`; pallas_call does no
+    auto-promotion, so both sides cast up here. The casts' transposes are
+    the layout's entire backward comm: the weights' `data` cast transposes
+    to the psum that sums their cotangents across data shards (the DP
+    gradient sync), and the batch's `model` cast transposes to the psum
+    that merges the Megatron blocks' activation cotangents."""
+    want = set()
+    for a in arrs:
+        want |= set(jax.typeof(a).vma)
+    out = []
+    for a in arrs:
+        missing = tuple(want - set(jax.typeof(a).vma))
+        out.append(jax.lax.pcast(a, missing, to="varying") if missing else a)
+    return out
 
 
 def _pair_block(h, wa, ba, wb, *, block_fn, cd, axis):
-    """softplus(h @ Wa_d + ba_d) @ Wb_d → psum: full [B, out_b] pre-act."""
-    (h_v,) = _pvary_like([h], wa)
-    zeros = _pvary_like([jnp.zeros((wb.shape[1],), jnp.float32)], wa)[0]
+    """transfer(h @ Wa_d + ba_d) @ Wb_d → psum: full [B, out_b] pre-act."""
+    zeros = jnp.zeros((wb.shape[1],), jnp.float32)
+    h_v, wa, ba, wb, zeros = _vary_union(h, wa, ba, wb, zeros)
     synth = {"gener": {"h1": {"w": wa, "b": ba}, "out": {"w": wb, "b": zeros}}}
     partial_out = block_fn(synth, h_v, compute_dtype=cd)
     return jax.lax.psum(partial_out, axis)
@@ -385,32 +456,37 @@ def _pair_block(h, wa, ba, wb, *, block_fn, cd, axis):
 
 def _colsplit_linear(h, w, b, width: int, *, block_fn, cd, axis):
     """h @ W_d + b_d → all_gather over columns → slice pads → [B, width]."""
-    (h_v,) = _pvary_like([h], w)
+    h_v, w, b = _vary_union(h, w, b)
     synth = {"gener": {"out": {"w": w, "b": b}}}
     local = block_fn(synth, h_v, compute_dtype=cd)
     full = jax.lax.all_gather(local, axis, axis=1, tiled=True)
     return full[:, :width]
 
 
-def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis):
+def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis,
+                         cond=None):
     """One modality's VAE forward with TP-split towers. Mirrors
-    `vae.vae_forward`'s jnp path exactly (same ε draw, same head math), so
-    the TP trajectory is comparable to the single-device step."""
-    from vae_assoc_tpu.configs import recog_widths, gener_widths
+    `vae.vae_forward`'s jnp path exactly (same ε draw, same head math, same
+    call-boundary cond concat), so the TP trajectory is comparable to the
+    single-device step."""
+    from vae_assoc_tpu.configs import TRANSFER_FNS, recog_widths, gener_widths
 
+    transfer = TRANSFER_FNS[mcfg.transfer]
     r, g = p["recog"], p["gener"]
     rw = recog_widths(mcfg.arch)
     h = jnp.asarray(x, jnp.float32)
+    if cond is not None:
+        h = jnp.concatenate([h, cond], axis=1)
     i = 0
     while i + 1 < len(rw):
         pre = _pair_block(
             h, r[f"h{i + 1}"]["w"], r[f"h{i + 1}"]["b"], r[f"h{i + 2}"]["w"],
             block_fn=block_fn, cd=cd, axis=axis,
         ) + r[f"h{i + 2}"]["b"]
-        h = jax.nn.softplus(pre)
+        h = transfer(pre)
         i += 2
     if i < len(rw):
-        h = jax.nn.softplus(
+        h = transfer(
             _colsplit_linear(
                 h, r[f"h{i + 1}"]["w"], r[f"h{i + 1}"]["b"], rw[i],
                 block_fn=block_fn, cd=cd, axis=axis,
@@ -422,7 +498,7 @@ def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis):
     z = sampling.reparameterize(mu, lv, key=key)
 
     gw = gener_widths(mcfg.arch)
-    h = z
+    h = z if cond is None else jnp.concatenate([z, cond], axis=1)
     i = 0
     # Pairing must mirror _net_roles: odd hidden depth pairs the last
     # hidden layer with `out`.
@@ -433,7 +509,7 @@ def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis):
             h, g[f"h{i + 1}"]["w"], g[f"h{i + 1}"]["b"], g[f"h{i + 2}"]["w"],
             block_fn=block_fn, cd=cd, axis=axis,
         ) + g[f"h{i + 2}"]["b"]
-        h = jax.nn.softplus(pre)
+        h = transfer(pre)
         i += 2
     if i < len(gw):  # odd depth: (h_last, out) block, no transfer on out
         recon = _pair_block(
@@ -448,18 +524,21 @@ def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis):
     return vae_mod.VAEOutputs(mu, lv, z, recon)
 
 
-def _tp_loss_fn(params, xs, cfg, tc, step_key, *, block_fn, axis):
+def _tp_loss_fn(params, xs, cfg, tc, step_key, *, block_fns, axis):
     """Joint objective with TP towers; loss/metric semantics delegate to
     the single-source helpers (vae.vae_loss, assoc._assoc_per_sample) so
-    they cannot drift from the other layouts."""
+    they cannot drift from the other layouts. Conditional models take the
+    condition as the trailing batch entry (assoc_mod.split_cond)."""
+    xs, cond = assoc_mod.split_cond(xs, cfg)
     keys = list(jax.random.split(step_key, len(cfg.modalities)))
     roles = tp_roles(cfg)
     outs = [
         _tp_modality_forward(
-            p, x, m, r, k, block_fn=block_fn, cd=tc.compute_dtype, axis=axis
+            p, x, m, r, k, block_fn=bf, cd=tc.compute_dtype, axis=axis,
+            cond=vae_mod.prepare_cond(cond, m, x.shape[0]),
         )
-        for p, x, m, r, k in zip(
-            params["modalities"], xs, cfg.modalities, roles, keys
+        for p, x, m, r, k, bf in zip(
+            params["modalities"], xs, cfg.modalities, roles, keys, block_fns
         )
     ]
     metrics = {}
@@ -564,34 +643,56 @@ def _tp_optimizer(tc: TrainConfig, cfg: AssocConfig):
 # ---------------------------------------------------------------------------
 
 
-def _tp_one_step(state: TrainState, xs, cfg, tc, opt, axis, block_fn):
+def _tp_one_step(state: TrainState, xs, cfg, tc, opt, axis, block_fns,
+                 data_axis=None):
     """Per-device step body. Mirrors train.step._one_step's semantics with
-    the replicated-batch TP twist: ONE ε stream (no axis_index folding —
-    every device must draw the same ε for the replicated batch)."""
+    the TP twist: in pure TP, ONE ε stream (no axis_index folding — every
+    device must draw the same ε for the replicated batch); under DP×TP,
+    fold `axis_index(data_axis)` exactly like parallel.dp (one stream per
+    data shard, shared across the shard's model column)."""
     rng, step_key = jax.random.split(state.rng)
     step_key = jax.random.fold_in(step_key, state.step)
+    if data_axis is not None:
+        step_key = jax.random.fold_in(step_key, jax.lax.axis_index(data_axis))
+    sync_axes = (axis,) if data_axis is None else (axis, data_axis)
+
+    def pmean_varying(x):
+        # Reduce exactly over the sync axes the value still VARIES on: in
+        # pure TP the loss/metrics vary over `model` (the pmean is the
+        # value-no-op vma cast); under DP×TP the forward's psums already
+        # made them model-invariant and they vary over `data` only, where
+        # the pmean is plain DP's real shard averaging. A joint pmean over
+        # both axes is ill-typed when the per-axis states differ.
+        present = tuple(a for a in sync_axes if a in jax.typeof(x).vma)
+        return jax.lax.pmean(x, present) if present else x
 
     def loss_fn(params):
         total, metrics = _tp_loss_fn(
-            params, xs, cfg, tc, step_key, block_fn=block_fn, axis=axis
+            params, xs, cfg, tc, step_key, block_fns=block_fns, axis=axis
         )
         total, metrics = step_mod.apply_objective_weights(
             total, metrics, cfg, tc, state.step
         )
-        # pmean before grad, like parallel.dp: every device computes the
-        # SAME total (replicated batch + psum'd partials), so this is a
-        # value no-op — but it (a) types `total` mesh-invariant so the
-        # out_specs P() state leaves check, and (b) makes the sharded-leaf
-        # cotangents sum correctly through each device's copy of the loss
-        # (Σ_dev (1/D)·∂total_dev/∂w_shard = ∂total/∂w_shard).
-        return jax.lax.pmean(total, axis), metrics
+        # pmean before grad, like parallel.dp. Over the model axis every
+        # device computes the SAME total (replicated batch slice + psum'd
+        # partials), so that leg is a value no-op — but it (a) types
+        # `total` mesh-invariant so the out_specs P() state leaves check,
+        # and (b) makes the sharded-leaf cotangents sum correctly through
+        # each device's copy of the loss
+        # (Σ_dev (1/D)·∂total_dev/∂w_shard = ∂total/∂w_shard). Over the
+        # data axis (DP×TP) it is plain DP's gradient sync: the grad of
+        # the mean-over-shards loss; sharded-leaf cotangents arrive summed
+        # over data via the `_vary_union` cast's psum transpose, and
+        # replicated leaves through the pmean transpose, as in dp.py.
+        return pmean_varying(total), metrics
 
     with jax.named_scope("fwd_bwd"):
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
     grads = _mask_pad_rows(grads, cfg, axis)
-    # Metric values are already identical on every device; the pmean is a
-    # vma cast (varying → invariant) so the P() out_specs typecheck.
-    metrics = jax.lax.pmean(metrics, axis)
+    # Over the model axis metric values are already identical on every
+    # device (the pmean is a vma cast); over the data axis it averages the
+    # shard-local metrics so the logged loss equals the global-batch loss.
+    metrics = jax.tree.map(pmean_varying, metrics)
     metrics["grad_norm"] = _tp_global_norm(grads, cfg, axis)
     with jax.named_scope("adam_update"):
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
@@ -602,19 +703,23 @@ def _tp_one_step(state: TrainState, xs, cfg, tc, opt, axis, block_fn):
 @functools.lru_cache(maxsize=64)
 def make_tp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh):
     """Build the TP train step: `step_fn(tstate, xs) -> (tstate', metrics)`
-    with state in the TP layout and xs full (replicated) batches."""
+    with state in the TP layout. On a 1-D ``('model',)`` mesh ``xs`` are
+    full (replicated) batches; on a 2-D ``('data','model')`` mesh they are
+    global batches sharded on the batch dim over `data` (DP×TP)."""
     check_tp_shard(cfg, tc)
-    n = _n_shards(mesh)
+    n, data_axis = _mesh_info(mesh)
     opt = _tp_optimizer(tc, cfg)
-    block_fn = _block_kernel(tc)
+    block_fns = tuple(_block_kernel(tc, m.transfer) for m in cfg.modalities)
     spc = tc.steps_per_call
 
     def local_step(state: TrainState, xs):
         if spc == 1:
-            return _tp_one_step(state, list(xs), cfg, tc, opt, AXIS, block_fn)
+            return _tp_one_step(state, list(xs), cfg, tc, opt, AXIS,
+                                block_fns, data_axis)
 
         def body(carry, batch):
-            return _tp_one_step(carry, list(batch), cfg, tc, opt, AXIS, block_fn)
+            return _tp_one_step(carry, list(batch), cfg, tc, opt, AXIS,
+                                block_fns, data_axis)
 
         return jax.lax.scan(body, state, tuple(xs))
 
@@ -622,11 +727,18 @@ def make_tp_train_step(cfg: AssocConfig, tc: TrainConfig, mesh: Mesh):
     state_spec = TrainState(
         P(), params_spec, _tp_opt_spec(cfg, tc, n, opt), P()
     )
+    # Pytree-PREFIX batch spec: pure TP replicates every batch entry; the
+    # 2-D mesh shards each entry's batch dim over `data` (replicated over
+    # `model` — each model column works on its shard's full slice).
+    xs_spec = (
+        P() if data_axis is None
+        else mesh_mod.batch_spec(mesh, leading_scan_axis=spc > 1,
+                                 batch_axes=data_axis)
+    )
     step_fn = jax.shard_map(
         local_step,
         mesh=mesh,
-        # P() as a pytree PREFIX: every batch entry replicates (pure TP).
-        in_specs=(state_spec, P()),
+        in_specs=(state_spec, xs_spec),
         out_specs=(state_spec, P()),
     )
     return jax.jit(step_fn, donate_argnums=(0,))
@@ -653,13 +765,20 @@ def tp_train_loop(
     on_metrics=None,
     shuffle: bool = True,
 ):
-    """Epoch driver for the TP step — dp._epoch_loop with replicated
-    batches. `state` must be in the TP layout (init/shard_tp_train_state)."""
+    """Epoch driver for the TP step — dp._epoch_loop with batches
+    replicated (1-D mesh) or sharded over the `data` axis (2-D DP×TP
+    mesh). `state` must be in the TP layout (init/shard_tp_train_state)."""
     from vae_assoc_tpu.parallel.dp import _epoch_loop
 
     if state is None:
         state = init_tp_train_state(cfg, tc, mesh)
     step_fn = make_tp_train_step(cfg, tc, mesh)
+    _, data_axis = _mesh_info(mesh)
+    if data_axis is None:
+        shard_fn, n_batch_dev = replicate_batch, 1
+    else:
+        shard_fn = functools.partial(mesh_mod.shard_batch, batch_axes=data_axis)
+        n_batch_dev = int(mesh.shape[data_axis])
     return _epoch_loop(
         cfg,
         tc,
@@ -667,8 +786,8 @@ def tp_train_loop(
         mesh,
         step_fn,
         state,
-        shard_fn=replicate_batch,
-        n_batch_dev=1,
+        shard_fn=shard_fn,
+        n_batch_dev=n_batch_dev,
         epochs=epochs,
         display_step=display_step,
         on_metrics=on_metrics,

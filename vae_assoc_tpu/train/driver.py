@@ -315,6 +315,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "batch replicated. MLP towers only. Unlike "
                         "--model-parallel (GSPMD, jnp path) this composes "
                         "with --use-pallas")
+    p.add_argument("--data-parallel", type=int, default=1, metavar="D",
+                   help="with --tp-shard --mesh N: DP x TP on one 2-D "
+                        "('data','model') shard_map mesh - D data shards x "
+                        "N/D Megatron model shards, batches sharded over "
+                        "data, kernels kept (parallel/tp_shard.py round 5)")
     return p
 
 
@@ -450,9 +455,16 @@ def main(argv=None) -> int:
                          "data mesh); it cannot combine with --fsdp or "
                          "--model-parallel")
     if args.tp_shard and (args.fsdp or args.model_parallel > 1 or args.zero):
-        raise SystemExit("--tp-shard owns the whole layout (a 1-D shard_map "
-                         "model mesh); it cannot combine with --fsdp/"
+        raise SystemExit("--tp-shard owns the whole layout (a shard_map "
+                         "model mesh, optionally x data with "
+                         "--data-parallel); it cannot combine with --fsdp/"
                          "--model-parallel/--zero")
+    if args.data_parallel < 1:
+        raise SystemExit("--data-parallel needs D >= 1")
+    if args.data_parallel > 1 and not args.tp_shard:
+        raise SystemExit("--data-parallel D is the DP x TP composition knob; "
+                         "it requires --tp-shard (plain data parallelism is "
+                         "just --mesh N)")
     if args.fsdp or args.model_parallel > 1:
         # TP/FSDP lay out the jnp step (GSPMD shardings on the plain model
         # path). The *effective* kernel choice comes from the config, not
@@ -728,9 +740,16 @@ def main(argv=None) -> int:
             from vae_assoc_tpu.parallel import tp_shard as tps_mod
 
             tps_mod.check_tp_shard(cfg, tc)  # fail before data prep
-            mesh = tps_mod.make_tp_mesh(n_mesh)
-            print(f"tensor-parallel (shard_map, kernels kept) over {n_mesh} "
-                  "devices", flush=True)
+            mesh = tps_mod.make_tp_mesh(n_mesh,
+                                        data_parallel=args.data_parallel)
+            if args.data_parallel > 1:
+                print(f"DPxTP (shard_map, kernels kept): "
+                      f"{args.data_parallel} data shards x "
+                      f"{n_mesh // args.data_parallel} model shards",
+                      flush=True)
+            else:
+                print(f"tensor-parallel (shard_map, kernels kept) over "
+                      f"{n_mesh} devices", flush=True)
         else:
             mesh = make_mesh(n_mesh)
             print(f"data-parallel over {n_mesh} devices", flush=True)
