@@ -179,3 +179,53 @@ def test_mega_fallback_warns_with_reason(rng):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assoc_mod.assoc_loss_fn(params_ok, xs, cfg_ok, eps=eps, use_pallas="mega")
+
+
+def test_mega_vmem_planner_tiers():
+    """Round-5 VMEM plan (found by the MFU geometry map, where a
+    hidden-2048 tower Mosaic-OOM'd at compile time): reference-scale
+    towers keep their measured default-limit tiles; mid-size towers plan
+    under a raised vmem_limit_bytes; towers whose weights outgrow the plan
+    are gated to the composable fallback chain by mega_fallback_reason."""
+    from vae_assoc_tpu.kernels import megakernel as mk
+
+    def arch(n_input, hidden, n_z):
+        return dict(n_input=n_input, n_z=n_z,
+                    n_hidden_recog_1=hidden, n_hidden_recog_2=hidden,
+                    n_hidden_gener_1=hidden, n_hidden_gener_2=hidden)
+
+    # reference scale: bit-identical plan to round 4 (tile 256, no request)
+    widths = (784, 500, 500, 20, 500, 500, 784)
+    tile, req = mk._plan_tile(16384, mk._weight_bytes(widths), max(widths), 8)
+    assert (tile, req) == (256, None)
+    assert mk.tower_vmem_reason(arch(784, 500, 20)) is None
+
+    # mid-size: feasible with a raised limit
+    w1024 = (1024, 1024, 1024, 128, 1024, 1024, 1024)
+    tile, req = mk._plan_tile(16384, mk._weight_bytes(w1024), max(w1024), 8)
+    assert tile >= 8 and req is not None and req > 16 * 1024 * 1024
+    assert req <= mk._VMEM_REQUEST_MAX
+    assert mk.tower_vmem_reason(arch(1024, 1024, 128)) is None
+
+    # wide: infeasible -> reason -> loud composable fallback that RUNS
+    assert mk.tower_vmem_reason(arch(1024, 2048, 128)) is not None
+    cfg_w = AssocConfig(
+        [
+            ModalityConfig("image", arch(64, 2048, 8), recon="bernoulli"),
+            ModalityConfig("trajectory", arch(64, 2048, 8), recon="gaussian"),
+        ],
+        assoc_lambda=0.5,
+    )
+    reason = assoc_mod.mega_fallback_reason(cfg_w)
+    assert reason is not None and "VMEM" in reason
+    params = assoc_mod.init_assoc(jax.random.key(0), cfg_w)
+    rng = np.random.default_rng(0)
+    xs = [
+        jnp.asarray(rng.uniform(0, 1, (16, 64)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32)),
+    ]
+    eps = [jnp.asarray(rng.normal(size=(16, 8)).astype(np.float32)) for _ in range(2)]
+    with pytest.warns(assoc_mod.MegaFallbackWarning, match="VMEM"):
+        total, _ = assoc_mod.assoc_loss_fn(params, xs, cfg_w, eps=eps,
+                                           use_pallas="mega")
+    assert np.isfinite(float(total))

@@ -80,19 +80,103 @@ def _rowsum(x):
     return jnp.sum(x, axis=-1, keepdims=True)
 
 
-def _vmem_tile(b: int, weight_bytes: int, widest: int, n_live: int) -> int:
-    """Largest multiple-of-8 batch tile whose live temps fit beside the
-    resident weights under a 13 MB budget (margin below the 16 MB scoped
-    VMEM limit for Mosaic's SSA copies)."""
-    budget = 13 * 1024 * 1024 - weight_bytes
+_VMEM_DEFAULT_BUDGET = 13 * 1024 * 1024
+"""Planning budget under Mosaic's default 16 MiB scoped limit (margin for
+SSA copies) — the reference-scale towers keep their measured tiles here."""
+
+_VMEM_PLAN_MAX = 56 * 1024 * 1024
+"""Largest planned footprint when the default budget cannot hold the
+resident weights: the request carries mlp.py's measured 1.75× margin, so
+56 MiB plans request ≤ ~98 MiB — under v5e's 128 MiB physical VMEM."""
+
+_VMEM_REQUEST_MAX = 100 * 1024 * 1024
+
+
+def _plan_tile(b: int, weight_bytes: int, widest: int, n_live: int):
+    """(batch tile, vmem_limit_bytes request or None) for one tower kernel.
+
+    Mirrors kernels/mlp.py's stack planner (round 5 — previously a wide
+    tower silently planned tile=8 against a blown budget and Mosaic
+    aborted with a scoped-VMEM OOM at compile time): if weights + an
+    8-row live set fit the default budget, keep the measured default-limit
+    tiles; else re-plan under `_VMEM_PLAN_MAX` with a raised
+    `vmem_limit_bytes`; else return tile 0 — the config-level gate
+    (`tower_vmem_reason` via `mega_fallback_reason`) routes such towers to
+    the composable kernels, which have their own feasibility chain."""
     per_row = 4 * n_live * _lane(widest)
-    tile = max(8, min(256, budget // per_row))
-    tile = (tile // 8) * 8
-    if b < tile:
-        # Cap at the budget tile: rounding b up to a power of two could
-        # otherwise exceed what the VMEM budget allows by ~2x.
-        return max(8, min(_pow2_tile(b), tile))
-    return max(8, tile)
+
+    def tile_under(budget):
+        tile = max(8, min(256, budget // per_row))
+        tile = (tile // 8) * 8
+        if b < tile:
+            # Cap at the budget tile: rounding b up to a power of two
+            # could otherwise exceed what the VMEM budget allows by ~2x.
+            return max(8, min(_pow2_tile(b), tile))
+        return max(8, tile)
+
+    budget = _VMEM_DEFAULT_BUDGET - weight_bytes
+    if budget >= 8 * per_row:
+        return tile_under(budget), None
+    budget = _VMEM_PLAN_MAX - weight_bytes
+    if budget < 8 * per_row:
+        return 0, None
+    tile = tile_under(budget)
+    est = weight_bytes + tile * per_row
+    return tile, min(_VMEM_REQUEST_MAX, int(est * 1.75))
+
+
+def _mega_compiler_params(base, vmem_request):
+    """Merge a raised vmem_limit_bytes into the (possibly None) base
+    CompilerParams; interpret mode takes neither."""
+    if _interpret() or vmem_request is None:
+        return base
+    if base is None:
+        return pltpu.CompilerParams(vmem_limit_bytes=vmem_request)
+    return pltpu.CompilerParams(
+        dimension_semantics=base.dimension_semantics,
+        vmem_limit_bytes=vmem_request,
+    )
+
+
+def tower_vmem_reason(arch: dict, n_cond: int = 0):
+    """None when the fused tower fits the VMEM plan end-to-end for this
+    arch dict, else a reason string (`models.assoc.mega_fallback_reason`
+    gates on it). Checks the forward (whole tower resident), the backward
+    stage 1 (decoder weights + grad accumulators), AND the encoder-stack
+    backward's own planner (kernels/mlp.py `_stack_vmem_ok`) — a forward
+    that compiles but a backward that cannot would OOM mid-step."""
+    from vae_assoc_tpu.kernels import mlp as kmlp
+
+    n_in = arch["n_input"] + n_cond
+    n_z = arch["n_z"]
+    h1e, h2e = arch["n_hidden_recog_1"], arch["n_hidden_recog_2"]
+    h1d, h2d = arch["n_hidden_gener_1"], arch["n_hidden_gener_2"]
+    widths = (n_in, h1e, h2e, n_z, h1d, h2d, arch["n_input"])
+    if _plan_tile(8, _weight_bytes(widths), max(widths), n_live=8)[0] == 0:
+        return (
+            f"tower weights (~{_weight_bytes(widths) >> 20} MiB resident) "
+            "exceed the megakernel's VMEM plan"
+        )
+    dec_widths = (n_z + n_cond, h1d, h2d, arch["n_input"])
+    if _plan_tile(
+        8, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10
+    )[0] == 0:
+        return (
+            "decoder weights + grad accumulators exceed the megakernel's "
+            "backward VMEM plan"
+        )
+    sd = lambda r, c: jax.ShapeDtypeStruct((r, c), jnp.float32)
+    bias = lambda c: jax.ShapeDtypeStruct((c,), jnp.float32)
+    enc_flat = (
+        sd(n_in, h1e), bias(h1e), sd(h1e, h2e), bias(h2e),
+        sd(h2e, n_z), bias(n_z), sd(h2e, n_z), bias(n_z),
+    )
+    if not kmlp._stack_vmem_ok(enc_flat, heads=2):
+        return (
+            "the encoder-stack backward exceeds the fused-kernel VMEM "
+            "budget (kernels/mlp.py)"
+        )
+    return None
 
 
 def _weight_bytes(widths) -> int:
@@ -268,7 +352,14 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
     n_cond = flat[8].shape[0] - n_z
     seeded = eps_or_seed.ndim == 1  # int32 [1] seed vs [B, n_z] ε
     widths = _widths(flat, n_in)
-    tile = _vmem_tile(b, _weight_bytes(widths), max(widths), n_live=8)
+    tile, vreq = _plan_tile(b, _weight_bytes(widths), max(widths), n_live=8)
+    if tile == 0:
+        raise ValueError(
+            "tower weights exceed the megakernel's VMEM plan; "
+            "mega_fallback_reason routes such configs to the composable "
+            "kernels — call through assoc_loss_fn/vae paths, not the raw "
+            "tower"
+        )
     eps_spec = (
         pl.BlockSpec(memory_space=pltpu.SMEM) if seeded else _row_spec(tile, n_z)
     )
@@ -287,7 +378,7 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
             _sds((b, 1), jnp.float32, x),
             _sds((b, 1), jnp.float32, x),
         ),
-        compiler_params=_fwd_compiler_params(),
+        compiler_params=_mega_compiler_params(_fwd_compiler_params(), vreq),
         interpret=_interpret(),
     )(x, *flat, eps_or_seed)
     out = {"mu": mu, "lv": lv, "recon_term": rec[:, 0], "kl_term": kl[:, 0]}
@@ -309,7 +400,14 @@ def _tower_bwd(kind, cd, res, cts):
     # Stage 1: decoder+loss backward (decoder weights + accumulators only).
     n_cond = dec_flat[0].shape[0] - n_z
     dec_widths = (n_z + n_cond, dec_flat[0].shape[1], dec_flat[2].shape[1], n_in)
-    tile = _vmem_tile(b, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10)
+    tile, vreq = _plan_tile(
+        b, 2 * _weight_bytes(dec_widths), max(dec_widths), n_live=10
+    )
+    if tile == 0:
+        raise ValueError(
+            "decoder weights + grad accumulators exceed the megakernel's "
+            "backward VMEM plan (gated by mega_fallback_reason)"
+        )
     dec_shapes = tuple(_sds(w.shape, jnp.float32, x) for w in dec_flat)
     dz, *dec_grads = pl.pallas_call(
         functools.partial(_dec_loss_bwd_kernel, cd, kind, b, n_cond),
@@ -325,6 +423,9 @@ def _tower_bwd(kind, cd, res, cts):
                for s in dec_shapes]
         ),
         out_shape=tuple([_sds((b, n_z), jnp.float32, x)] + list(dec_shapes)),
+        # backward accumulates across grid steps: no 'parallel' declaration,
+        # but wide towers still need the raised VMEM limit.
+        compiler_params=_mega_compiler_params(None, vreq),
         interpret=_interpret(),
     )(x, z, *dec_flat, grec)
 

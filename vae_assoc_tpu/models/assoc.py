@@ -153,10 +153,19 @@ def mega_fallback_reason(cfg: AssocConfig):
     for m in cfg.modalities:
         if m.transfer != "softplus":
             return f"modality {m.name!r} uses transfer={m.transfer!r}"
-        if m.encoder == "mlp" and (
-            len(recog_widths(m.arch)) != 2 or len(gener_widths(m.arch)) != 2
-        ):
-            return f"modality {m.name!r} has a non-depth-2 arch dict"
+        if m.encoder == "mlp":
+            if len(recog_widths(m.arch)) != 2 or len(gener_widths(m.arch)) != 2:
+                return f"modality {m.name!r} has a non-depth-2 arch dict"
+            # Wide towers whose resident weights outgrow the megakernel's
+            # VMEM plan route to the composable kernels, which back off or
+            # route to XLA themselves (round 5 — previously such towers
+            # passed CPU interpret tests and Mosaic-OOM'd at compile time
+            # on real TPU, found by the MFU geometry map).
+            from vae_assoc_tpu.kernels.megakernel import tower_vmem_reason
+
+            reason = tower_vmem_reason(m.arch, n_cond=m.n_cond)
+            if reason is not None:
+                return f"modality {m.name!r}: {reason}"
         # conv/conv_pallas modalities: served under "mega" by conv_tower_xla
         # (encoder="conv", the measured winner) or the conv-tower megakernel
         # (encoder="conv_pallas" opt-in; kernels/conv_mega.py) — the
