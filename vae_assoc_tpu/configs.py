@@ -265,16 +265,24 @@ class AssocConfig:
     reach σ), "sym_kl" (Jeffreys divergence between the Gaussian
     posteriors), or "infonce" (CLIP-style symmetric contrastive loss on
     the normalized latent means, rest-of-batch negatives, temperature
-    ``assoc_temp``; under shard_map DP the negatives are the LOCAL batch —
-    docs/PARALLEL.md). SURVEY.md §7 flags the reference's exact form as an
+    ``assoc_temp``). SURVEY.md §7 flags the reference's exact form as an
     unverified [R] claim; shipping the candidate readings means a populated
     reference mount is a config flip, not a rebuild.
+
+    ``assoc_negatives`` (infonce only): "local" (default) contrasts each
+    shard_map DP shard against its LOCAL batch — the standard
+    local-negatives regime, whose effective objective depends on the mesh
+    size; "global" all_gathers the normalized latent means over the data
+    axis so DP infonce equals single-device infonce per sample
+    (docs/PARALLEL.md; wire cost one [B_local, n_z] gather per modality
+    per pair).
     """
 
     modalities: Sequence[ModalityConfig]
     assoc_lambda: float = 1.0
     assoc_form: str = "mean_l2"
     assoc_temp: float = 0.1
+    assoc_negatives: str = "local"
 
     def __post_init__(self):
         object.__setattr__(self, "modalities", tuple(self.modalities))
@@ -287,6 +295,18 @@ class AssocConfig:
         if self.assoc_temp <= 0:
             raise ValueError(
                 f"assoc_temp must be > 0, got {self.assoc_temp}"
+            )
+        if self.assoc_negatives not in ("local", "global"):
+            raise ValueError(
+                "assoc_negatives must be 'local' or 'global', got "
+                f"{self.assoc_negatives!r}"
+            )
+        if self.assoc_negatives != "local" and self.assoc_form != "infonce":
+            # Only the contrastive form has a negative set; a silent no-op
+            # knob on the L2/KL forms would read as if it did something.
+            raise ValueError(
+                "assoc_negatives='global' only applies to "
+                f"assoc_form='infonce' (got {self.assoc_form!r})"
             )
         if len(self.modalities) < 1:
             raise ValueError("need at least one modality")
@@ -449,6 +469,7 @@ def config_to_dict(cfg: "AssocConfig", tc: "TrainConfig" = None) -> dict:
         "assoc_lambda": cfg.assoc_lambda,
         "assoc_form": cfg.assoc_form,
         "assoc_temp": cfg.assoc_temp,
+        "assoc_negatives": cfg.assoc_negatives,
         "modalities": [
             {
                 "name": m.name,
@@ -485,6 +506,9 @@ def config_from_dict(d: Mapping) -> tuple:
         # only form that existed, the default.
         assoc_form=d.get("assoc_form", "mean_l2"),
         assoc_temp=d.get("assoc_temp", 0.1),
+        # Absent in pre-round-5 snapshots: local negatives were the only
+        # regime that existed.
+        assoc_negatives=d.get("assoc_negatives", "local"),
     )
     tc = None
     if "train" in d:

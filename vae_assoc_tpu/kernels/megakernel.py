@@ -381,11 +381,21 @@ def _tower_fwd(kind, cd, flat, x, eps_or_seed):
         compiler_params=_mega_compiler_params(_fwd_compiler_params(), vreq),
         interpret=_interpret(),
     )(x, *flat, eps_or_seed)
-    out = {"mu": mu, "lv": lv, "recon_term": rec[:, 0], "kl_term": kl[:, 0]}
+    # ε is surfaced ([B, n_z] — trivial HBM traffic; it is already a kernel
+    # output for the backward's residuals) so sample-coupled terms like
+    # assoc_form="sample_l2" can recompute z = μ + σ·ε in XLA (round 5 —
+    # previously the one form the mega path could not serve).
+    out = {"mu": mu, "lv": lv, "eps": eps,
+           "recon_term": rec[:, 0], "kl_term": kl[:, 0]}
     return out, (flat, x, mu, lv, eps, eps_or_seed)
 
 
 def _tower_bwd(kind, cd, res, cts):
+    # cts["eps"] is deliberately unused: the surfaced ε is the noise draw
+    # itself — it does not depend on params or x (seeded: pure PRNG output;
+    # injected: a primal input whose cotangent `deps_or_seed` is zero
+    # below by the closed-world invariant) — so consumers' z = μ + σ·ε
+    # gradients flow exactly through cts["mu"]/cts["lv"] alone.
     flat, x, mu, lv, eps, eps_or_seed = res
     b, n_in = x.shape
     n_z = flat[4].shape[1]
@@ -454,10 +464,15 @@ def vae_tower_fused(
 ):
     """Whole VAE tower + per-sample loss terms, one forward kernel.
 
-    Returns dict(mu [B,n_z], lv [B,n_z], recon_term [B], kl_term [B]).
-    ε comes from the on-core PRNG when `key` is given (TPU; off-TPU the
-    key degrades to a jax.random draw like kernels/sampling.py), or is
-    injected explicitly for parity tests.
+    Returns dict(mu [B,n_z], lv [B,n_z], eps [B,n_z], recon_term [B],
+    kl_term [B]). ε comes from the on-core PRNG when `key` is given (TPU;
+    off-TPU the key degrades to a jax.random draw like
+    kernels/sampling.py), or is injected explicitly for parity tests. The
+    surfaced ε is exactly the draw the in-kernel decoder consumed, so
+    ``mu + exp(0.5·lv) * eps`` reconstructs the decoder's z in XLA
+    (sample-coupled association terms ride the mega path this way); its
+    gradients flow through mu/lv — ε itself is parameter-independent
+    noise (see `_tower_bwd`).
 
     ``cond`` ([B, n_cond] fp32, already one-hot/soft-encoded — the caller
     validates via models/vae.prepare_cond): conditional towers widen the
@@ -492,7 +507,8 @@ def vae_tower_fused(
             rec = losses.bernoulli_recon(x_data, logits=r)
         else:
             rec = losses.gaussian_recon(x_data, r)
-        return {"mu": mu, "lv": lv, "recon_term": rec,
+        return {"mu": mu, "lv": lv, "eps": eps.astype(jnp.float32),
+                "recon_term": rec,
                 "kl_term": losses.kl_divergence(mu, lv)}
     flat = tuple(_pvary_like(_flatten(params), x))
     if eps is None:

@@ -120,9 +120,15 @@ class MegaFallbackWarning(UserWarning):
     legitimate notice instead of crashing at trace time (round-4 ADVICE)."""
 
 
-def _assoc_per_sample(outs, cfg: AssocConfig, *, ordered: bool = False):
+def _assoc_per_sample(outs, cfg: AssocConfig, *, ordered: bool = False,
+                      data_axis=None):
     """Per-sample association term in the configured form, from the
-    per-modality forward outputs (ops/losses.assoc_loss does the math)."""
+    per-modality forward outputs (ops/losses.assoc_loss does the math).
+
+    ``data_axis``: mesh axis name(s) the batch shards over, when called
+    inside a sharded step body — `assoc_negatives="global"` infonce
+    all_gathers the normalized means over it (mesh-invariant objective);
+    every other form ignores it (their couplings are per-sample)."""
     return losses.assoc_loss(
         [o.z_mean for o in outs],
         z_logvars=[o.z_logvar for o in outs],
@@ -130,6 +136,8 @@ def _assoc_per_sample(outs, cfg: AssocConfig, *, ordered: bool = False):
         form=cfg.assoc_form,
         temp=cfg.assoc_temp,
         ordered=ordered,
+        negatives=cfg.assoc_negatives,
+        gather_axis=data_axis,
     )
 
 
@@ -140,15 +148,16 @@ def mega_fallback_reason(cfg: AssocConfig):
     up front (driver validation, tests)."""
     from vae_assoc_tpu.configs import gener_widths, recog_widths
 
-    if cfg.assoc_form == "sample_l2":
-        # The only form the megakernel cannot serve: it couples the SAMPLED
-        # latents, and z stays in-kernel (the sampler is fused). mean_l2,
-        # sym_kl and infonce couple μ/logσ², which the kernels surface
-        # (with VJP cotangents) — round 4 lifted the round-3 over-broad
-        # "non-default forms fall back" gate.
+    if cfg.assoc_form == "sample_l2" and any(
+        m.encoder in ("conv", "conv_pallas") for m in cfg.modalities
+    ):
+        # The MLP tower megakernel surfaces ε (round 5), so sample-coupled
+        # forms recompute z = μ + σ·ε in XLA and ride the mega path; the
+        # conv towers (kernels/conv_mega.py) do not surface ε, so a
+        # sample-coupled form with a conv modality still falls back.
         return (
-            "assoc_form='sample_l2' couples the sampled z, which stays "
-            "inside the megakernel (the fused sampler never writes it)"
+            "assoc_form='sample_l2' couples the sampled z and a conv "
+            "modality's tower does not surface its ε draw"
         )
     for m in cfg.modalities:
         if m.transfer != "softplus":
@@ -186,6 +195,7 @@ def assoc_loss_fn(
     use_pallas: bool = False,
     cond=None,
     remat: bool = False,
+    data_axis=None,
 ):
     """Joint objective → (total_loss, metrics dict).
 
@@ -198,6 +208,10 @@ def assoc_loss_fn(
     ``remat``: per-tower `jax.checkpoint` (see `assoc_forward`). The mega
     path already rematerializes inside its custom VJP (the decoder output
     never reaches HBM), so it ignores the knob rather than rejecting it.
+
+    ``data_axis``: the mesh axis the batch shards over when called inside
+    a sharded step body (dp/zero/sweep pass theirs) — lets
+    `assoc_negatives="global"` infonce gather its negatives globally.
     """
     xs, cond = split_cond(xs, cfg, cond)
     if use_pallas == "mega" and not parity_mode:
@@ -208,14 +222,15 @@ def assoc_loss_fn(
         # fallback semantics: a conv modality, a non-softplus transfer, or
         # a deeper arch dict routes the whole loss through the
         # composable-kernel path, which is depth-generic and itself falls
-        # back per modality. Of the association forms only sample_l2
-        # falls back: it couples the sampled z, which stays in-kernel;
-        # mean_l2/sym_kl/infonce couple the surfaced μ/logσ² (round 4).
+        # back per modality. Every association form rides the mega path
+        # (round 5): mean_l2/sym_kl/infonce couple the surfaced μ/logσ²,
+        # sample_l2 recomputes z from the surfaced ε — except sample_l2
+        # with a conv modality (its tower doesn't surface ε).
         reason = mega_fallback_reason(cfg)
         if reason is None:
             return _assoc_loss_mega(
                 params, xs, cfg, key=key, eps=eps, compute_dtype=compute_dtype,
-                cond=cond,
+                cond=cond, data_axis=data_axis,
             )
         # The fallback must not be silent (VERDICT r3 weak #2): a user who
         # configured use_pallas="mega" keeps the flag but loses the
@@ -274,14 +289,15 @@ def assoc_loss_fn(
             # work — round-3 ADVICE); other forms couple through plain XLA
             # on the tensors already at hand here. Gradient equality vs
             # the jnp path is tested (tests/test_assoc_forms.py).
-            assoc = jnp.mean(_assoc_per_sample(outs, cfg))
+            assoc = jnp.mean(_assoc_per_sample(outs, cfg, data_axis=data_axis))
     else:
         for m, x, out in zip(cfg.modalities, xs, outs):
             terms = vae_mod.vae_loss(out, x, m, parity_mode=parity_mode)
             metrics[f"recon_{m.name}"] = terms["recon"]
             metrics[f"kl_{m.name}"] = terms["kl"]
             total = total + terms["recon"] + terms["kl"]
-        per_sample_assoc = _assoc_per_sample(outs, cfg, ordered=parity_mode)
+        per_sample_assoc = _assoc_per_sample(outs, cfg, ordered=parity_mode,
+                                             data_axis=data_axis)
         mean = losses.ordered_mean if parity_mode else jnp.mean
         assoc = mean(per_sample_assoc)
     metrics["assoc"] = assoc
@@ -290,7 +306,8 @@ def assoc_loss_fn(
     return total, metrics
 
 
-def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond=None):
+def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype,
+                     cond=None, data_axis=None):
     """Joint objective via the per-modality tower megakernels
     (kernels/megakernel.py): one forward kernel per modality — the decoder
     output never touches HBM — plus the tiny association term in XLA.
@@ -310,7 +327,7 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond
         eps = [None] * k
     metrics = {}
     total = jnp.float32(0.0)
-    mus, lvs = [], []
+    mus, lvs, zs = [], [], []
     for p, x, m, kk, e in zip(params["modalities"], xs, cfg.modalities, keys, eps):
         if m.encoder in ("conv", "conv_pallas"):
             # Conv modalities keep the encoder field's XLA-vs-Pallas
@@ -336,13 +353,20 @@ def _assoc_loss_mega(params, xs, cfg, *, key=None, eps=None, compute_dtype, cond
         total = total + metrics[f"recon_{m.name}"] + metrics[f"kl_{m.name}"]
         mus.append(out["mu"])
         lvs.append(out["lv"])
-    # Association term in XLA from the surfaced μ/logσ² (the kernels'
-    # custom VJPs carry both cotangents): mean_l2, sym_kl and infonce all
-    # ride the mega path — only sample_l2 needs the in-kernel z
-    # (mega_fallback_reason gates it out above).
+        if cfg.assoc_form == "sample_l2":
+            # The MLP tower surfaces the exact ε its in-kernel decoder
+            # consumed (round 5), so z = μ + σ·ε here IS the decoder's z;
+            # gradients flow through the μ/logσ² cotangents (ε is
+            # parameter-independent noise — megakernel._tower_bwd).
+            zs.append(out["mu"] + jnp.exp(0.5 * out["lv"]) * out["eps"])
+    # Association term in XLA from the surfaced μ/logσ²(/ε): all four
+    # forms ride the mega path (sample_l2 via the recomputed z; conv
+    # modalities don't surface ε, gated by mega_fallback_reason above).
     assoc = jnp.mean(
         losses.assoc_loss(
-            mus, z_logvars=lvs, form=cfg.assoc_form, temp=cfg.assoc_temp
+            mus, z_logvars=lvs, zs=zs or None,
+            form=cfg.assoc_form, temp=cfg.assoc_temp,
+            negatives=cfg.assoc_negatives, gather_axis=data_axis,
         )
     )
     metrics["assoc"] = assoc

@@ -485,7 +485,7 @@ def _pp_vae_forward(p, x, mcfg, *, key, cd, n_stages, n_micro, cond):
     return vae_mod.VAEOutputs(mu, lv, z, recon)
 
 
-def _pp_loss(pp_params, xs, cfg, tc, key, n_stages, n_micro):
+def _pp_loss(pp_params, xs, cfg, tc, key, n_stages, n_micro, data_axis=None):
     """The joint objective on the PP layout — the jnp branch of
     `models.assoc.assoc_loss_fn` with the pipelined per-modality forward."""
     xs, cond = assoc_mod.split_cond(xs, cfg)
@@ -504,7 +504,9 @@ def _pp_loss(pp_params, xs, cfg, tc, key, n_stages, n_micro):
         metrics[f"recon_{m.name}"] = terms["recon"]
         metrics[f"kl_{m.name}"] = terms["kl"]
         total = total + terms["recon"] + terms["kl"]
-    assoc = jnp.mean(assoc_mod._assoc_per_sample(outs, cfg))
+    assoc = jnp.mean(
+        assoc_mod._assoc_per_sample(outs, cfg, data_axis=data_axis)
+    )
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total
@@ -570,7 +572,8 @@ def _pp_one_step(state: TrainState, xs, cfg, tc, opt, n_stages, n_micro,
         step_key = jax.random.fold_in(step_key, jax.lax.axis_index(data_axis))
 
     def loss_fn(params):
-        total, metrics = _pp_loss(params, xs, cfg, tc, step_key, n_stages, n_micro)
+        total, metrics = _pp_loss(params, xs, cfg, tc, step_key, n_stages,
+                                  n_micro, data_axis)
         total, metrics = step_mod.apply_objective_weights(
             total, metrics, cfg, tc, state.step
         )

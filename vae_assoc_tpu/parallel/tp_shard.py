@@ -524,7 +524,8 @@ def _tp_modality_forward(p, x, mcfg, roles, key, *, block_fn, cd, axis,
     return vae_mod.VAEOutputs(mu, lv, z, recon)
 
 
-def _tp_loss_fn(params, xs, cfg, tc, step_key, *, block_fns, axis):
+def _tp_loss_fn(params, xs, cfg, tc, step_key, *, block_fns, axis,
+                data_axis=None):
     """Joint objective with TP towers; loss/metric semantics delegate to
     the single-source helpers (vae.vae_loss, assoc._assoc_per_sample) so
     they cannot drift from the other layouts. Conditional models take the
@@ -548,7 +549,9 @@ def _tp_loss_fn(params, xs, cfg, tc, step_key, *, block_fns, axis):
         metrics[f"recon_{m.name}"] = terms["recon"]
         metrics[f"kl_{m.name}"] = terms["kl"]
         total = total + terms["recon"] + terms["kl"]
-    assoc = jnp.mean(assoc_mod._assoc_per_sample(outs, cfg))
+    assoc = jnp.mean(
+        assoc_mod._assoc_per_sample(outs, cfg, data_axis=data_axis)
+    )
     metrics["assoc"] = assoc
     total = total + jnp.float32(cfg.assoc_lambda) * assoc
     metrics["total"] = total
@@ -668,7 +671,8 @@ def _tp_one_step(state: TrainState, xs, cfg, tc, opt, axis, block_fns,
 
     def loss_fn(params):
         total, metrics = _tp_loss_fn(
-            params, xs, cfg, tc, step_key, block_fns=block_fns, axis=axis
+            params, xs, cfg, tc, step_key, block_fns=block_fns, axis=axis,
+            data_axis=data_axis,
         )
         total, metrics = step_mod.apply_objective_weights(
             total, metrics, cfg, tc, state.step

@@ -263,6 +263,7 @@ def _zero_one_step(state: TrainState, xs, cfg, tc, opt, axis, n, tmpl):
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
             remat=tc.remat,
+            data_axis=axis,  # global-negatives infonce gathers over it
         )
         # β-VAE / annealing knobs, same shared helper as _one_step (no-op
         # at the defaults).

@@ -185,6 +185,14 @@ def build_argparser() -> argparse.ArgumentParser:
                         "latent means, rest-of-batch negatives)")
     p.add_argument("--assoc-temp", type=float, default=None, metavar="T",
                    help="infonce temperature (default 0.1)")
+    p.add_argument("--assoc-negatives", default=None,
+                   choices=("local", "global"),
+                   help="infonce negative set under sharded layouts: "
+                        "'local' (default) contrasts each data shard "
+                        "against its own batch (objective depends on mesh "
+                        "size); 'global' all-gathers the normalized latent "
+                        "means over the data axis so DP infonce equals "
+                        "single-device infonce (docs/PARALLEL.md)")
     p.add_argument("--depth", type=int, default=None, metavar="L",
                    help="hidden layers per MLP net (default 2 = the "
                         "reference architecture). Deeper stacks run the "
@@ -521,6 +529,11 @@ def main(argv=None) -> int:
                 "config (the association term couples modality pairs)"
             )
         cfg = dataclasses.replace(cfg, assoc_form=args.assoc_form)
+    if args.assoc_negatives:
+        if (args.assoc_form or cfg.assoc_form) != "infonce":
+            raise SystemExit("--assoc-negatives only applies with "
+                             "--assoc-form infonce")
+        cfg = dataclasses.replace(cfg, assoc_negatives=args.assoc_negatives)
     if args.assoc_temp is not None:
         if (args.assoc_form or cfg.assoc_form) != "infonce":
             raise SystemExit("--assoc-temp only applies with "

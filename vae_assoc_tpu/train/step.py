@@ -288,6 +288,9 @@ def _one_step(state: TrainState, xs, cfg: AssocConfig, tc: TrainConfig, opt, axi
             parity_mode=tc.parity_mode,
             use_pallas=tc.use_pallas,
             remat=tc.remat,
+            # Under shard_map the batch shards over axis_name; global-
+            # negatives infonce gathers over it (ops/losses._infonce).
+            data_axis=axis_name,
         )
         # Per-model λ (sweep path) and/or β-VAE/annealing knobs: recompute
         # the objective from its terms. The gradient is exact — total is
