@@ -8,11 +8,13 @@ bf16, "mega" dispatch, batch 16384):
              streaming threshold), the measured 0.79M samples/s row;
   streamed — the default since round 5: blockwise running-max logsumexp,
              the logit matrix never exists (ops/losses._lse_rows_streamed);
-  global   — streamed + assoc_negatives="global" through the 1-chip DP
-             mesh: the all_gather folds away on one device (wire cost is
-             [B_local, n_z] ≈ 1.3 MB/pair vs ~0.85 GB/step of tower
-             traffic on a real mesh), so this arm measures the code-path
-             overhead, not the wire.
+  dp_step_local / dp_step_global — STEP-level arms through the 1-chip DP
+             mesh (device-resident shards, repeated jitted-step calls):
+             isolates the assoc_negatives="global" code-path overhead —
+             the all_gather folds away on one device (wire cost on a real
+             mesh is [B_local, n_z] ≈ 1.3 MB/pair vs ~0.85 GB/step of
+             tower traffic). An epoch-loop arm would measure host shuffle
+             + axon-tunnel staging instead (~6.5k samples/s).
 
 Run:  PYTHONPATH=/root/repo python scripts/bench_infonce.py
 """
@@ -71,7 +73,7 @@ def run_arm(name, *, negatives, dense, seed, round4=False):
         # program per arm (the step factories are lru_cached on (cfg, tc))
     )
     cfg = dataclasses.replace(cfg, assoc_form="infonce",
-                              assoc_negatives=negatives)
+                              assoc_negatives=negatives or "local")
     if data is None:
         data = [
             jax.device_put(rng.uniform(0, 1, (EPOCH_SAMPLES, 784))
@@ -80,23 +82,42 @@ def run_arm(name, *, negatives, dense, seed, round4=False):
                            .astype(np.float32)),
         ]
         jax.device_get(data[0][:1])
-    if negatives == "global":
-        # through the 1-chip DP mesh so the data_axis threading is real
+    if negatives is not None:
+        # STEP-level arm through the 1-chip DP mesh (the layout where the
+        # data_axis threading and the all_gather are real): device-resident
+        # shards, repeated jitted-step calls, device_get-forced. An
+        # epoch-loop arm would measure host shuffle + tunnel staging
+        # (~6.5k samples/s — the axon link), not the loss path.
+        import time
+
         from vae_assoc_tpu.parallel import (
-            dp_train_loop,
             init_dp_train_state,
+            make_dp_train_step,
             make_mesh,
+            shard_batch,
         )
 
         mesh = make_mesh(1)
-        host = [np.asarray(jax.device_get(d)) for d in data]
         state = init_dp_train_state(cfg, tc, mesh)
-        state, _ = dp_train_loop(cfg, tc, host, mesh, epochs=6, state=state)
+        step_fn = make_dp_train_step(cfg, tc, mesh)
+        spc = tc.steps_per_call
+        xs = shard_batch(
+            mesh,
+            [np.asarray(jax.device_get(d)).reshape(spc, BATCH, -1)
+             for d in data],
+            leading_scan_axis=True,
+        )
+        for _ in range(3):  # warm: compile + link settle
+            state, m = step_fn(state, xs)
+        jax.device_get(m["total"])
         sps = 0.0
         for _ in range(3):
-            state, hist = dp_train_loop(cfg, tc, host, mesh, epochs=6,
-                                        state=state)
-            sps = max(sps, hist[-1]["samples_per_sec"])
+            t0 = time.perf_counter()
+            for _ in range(8):
+                state, m = step_fn(state, xs)
+            jax.device_get(m["total"])
+            dt = time.perf_counter() - t0
+            sps = max(sps, 8 * spc * BATCH / dt)
     else:
         state, _ = train_loop_fused(cfg, tc, data, epochs=6, shuffle=True)
         sps = 0.0
@@ -111,12 +132,12 @@ def run_arm(name, *, negatives, dense, seed, round4=False):
 results = {}
 for rep in range(2):
     for name, kw in (
-        ("round4_onematmul", dict(negatives="local", dense=True, seed=1,
+        ("round4_onematmul", dict(negatives=None, dense=True, seed=1,
                                   round4=True)),
-        ("infonce_dense2", dict(negatives="local", dense=True, seed=2)),
-        ("infonce_streamed", dict(negatives="local", dense=False, seed=3)),
-        ("infonce_global_streamed", dict(negatives="global", dense=False,
-                                         seed=4)),
+        ("infonce_dense2", dict(negatives=None, dense=True, seed=2)),
+        ("infonce_streamed", dict(negatives=None, dense=False, seed=3)),
+        ("dp_step_local", dict(negatives="local", dense=False, seed=4)),
+        ("dp_step_global", dict(negatives="global", dense=False, seed=5)),
     ):
         sps = run_arm(name, **kw)
         results[name] = max(results.get(name, 0.0), sps)
